@@ -20,3 +20,10 @@ Layers (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry (homographies, reprojection) needs true f32 contractions; TPU
+# matmuls otherwise default to bf16 and corrupt sub-pixel coordinates.
+# Compute-heavy neural parts (priors ViT) opt into bf16 explicitly.
+_jax.config.update("jax_default_matmul_precision", "highest")

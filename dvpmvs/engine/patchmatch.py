@@ -1,0 +1,274 @@
+"""The per-view PatchMatch pass (jitted state machine).
+
+Re-creates the kernel sequence of ``APD::RunPatchMatch`` (APD.cu:4406-4532)
+as one functional, jit-compiled program over a ``PMState`` pytree:
+
+    init (plane encode / random init + initial cost & view selection)
+    for iter in range(max_iterations):
+        for color in (black, red):
+            strong propagation -> MHJVS -> adoption -> 6-plane refinement
+            [weak pass: anchors + fit plane, when use_APD]       (engine v2)
+    plane -> (depth, world normal);  checkerboard median filter
+    DepthToWeak reclassification;  LocalRefine polish
+
+Differences from the CUDA design (deliberate, TPU-first):
+  * dense masked updates instead of per-color kernel launches — each
+    half-iteration computes proposals for every pixel and commits only its
+    color (the checkerboard data dependence is preserved exactly);
+  * counter-based ``jax.random`` keyed on (iteration, color, site) instead of
+    clock-seeded curand — runs are reproducible;
+  * FIRST_INIT re-encodes prior planes into compute form (the reference keeps
+    the (world-normal, depth) encoding and feeds it to the homography —
+    SURVEY §2.5-class bug, not reproduced).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PMDynamic, PMStatic, PixelState, RunState
+from ..geometry.camera import Camera
+from ..geometry.transforms import depth_from_plane, plane_from_world
+from ..kernels.geom import GeomContext, build_geom_context, geom_consistency_cost
+from ..kernels.median import median_filter_depth
+from ..kernels.ncc import COST_MAX, CostContext, build_cost_context, ncc_cost, ncc_cost_batch
+from ..kernels.propagation import mhjvs, select_candidates, weighted_cost
+from ..kernels.refine import refinement_planes
+from ..kernels.sampling import (plane_from_normal_depth, random_depth,
+                                visibility_prior_normal)
+from ..kernels.sweep import depth_to_weak, local_refine
+from .state import PMState, PassOutput
+
+
+def _grids(H, W):
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    return xs, ys
+
+
+def _ray(rx, ry):
+    r = jnp.stack([rx, ry, jnp.ones_like(rx)], axis=-1)
+    return r / jnp.linalg.norm(r, axis=-1, keepdims=True)
+
+
+def _initial_cost_first(ctx: CostContext, plane, top_k: int):
+    """ComputeMultiViewInitialCostandSelectedViews (APD.cu:1115-1161)."""
+    costs = ncc_cost(ctx, plane)                       # [H, W, V]
+    V = costs.shape[-1]
+    srt = jnp.sort(costs, axis=-1)
+    num_valid = jnp.sum(costs < COST_MAX, axis=-1)
+    k = jnp.minimum(num_valid, top_k)                  # [H, W]
+    ar = jnp.arange(V)
+    take = ar[None, None, :] < k[..., None]
+    mean_topk = jnp.sum(jnp.where(take, srt, 0.0), axis=-1) \
+        / jnp.maximum(k, 1)
+    thresh = jnp.take_along_axis(
+        srt, jnp.maximum(k - 1, 0)[..., None], axis=-1)[..., 0]
+    sel = (costs <= thresh[..., None]) & (k[..., None] > 0)
+    cost = jnp.where(k > 0, mean_topk, COST_MAX)
+    return cost, sel
+
+
+def _initial_cost_refine(ctx: CostContext, plane, sel_views):
+    """ComputeMultiViewInitialCost (APD.cu:1163-1191): mean over selected
+    views with cost < max; failing views are unselected."""
+    costs = ncc_cost(ctx, plane)
+    ok = sel_views & (costs < COST_MAX)
+    cnt = jnp.sum(ok, axis=-1)
+    cost = jnp.sum(jnp.where(ok, costs, 0.0), axis=-1) / jnp.maximum(cnt, 1)
+    return jnp.where(cnt > 0, cost, COST_MAX), ok
+
+
+def _propagate_color(
+    state: PMState,
+    color: int,
+    it,
+    key: jax.Array,
+    ctx: CostContext,
+    ref_cam: Camera,
+    src_cams: Camera,
+    static: PMStatic,
+    dyn: PMDynamic,
+    xs, ys, rx, ry, ray, parity,
+):
+    """One strong half-iteration (one checkerboard color)."""
+    k_view, k_refine = jax.random.split(jax.random.fold_in(key, color))
+
+    cand_planes, flags = select_candidates(state.plane, state.cost, ray)
+    cost_array = ncc_cost_batch(ctx, cand_planes)          # [8, H, W, V]
+
+    view_weights, temp_sel, weight_norm = mhjvs(
+        k_view, cost_array, flags, state.sel_views, it,
+        num_samples=static.view_samples)
+    final_costs = weighted_cost(cost_array, view_weights[None],
+                                weight_norm[None])          # [8, H, W]
+
+    cur_vec = ncc_cost(ctx, state.plane)
+    cost0 = weighted_cost(cur_vec, view_weights, weight_norm)
+
+    # adopt best direction candidate (APD.cu:2544-2567)
+    min_idx = jnp.argmin(final_costs, axis=0)
+    best_cost = jnp.take_along_axis(final_costs, min_idx[None], axis=0)[0]
+    best_plane = jnp.take_along_axis(
+        cand_planes, min_idx[None, ..., None], axis=0)[0]
+    best_flag = jnp.take_along_axis(flags, min_idx[None], axis=0)[0]
+    depth_before = depth_from_plane(best_plane, xs, ys, ref_cam)
+    adopt = (best_flag & (depth_before >= dyn.depth_min)
+             & (depth_before <= dyn.depth_max) & (best_cost < cost0))
+
+    plane_now = jnp.where(adopt[..., None], best_plane, state.plane)
+    cost_now = jnp.where(adopt, best_cost, cost0)
+    sel_now = jnp.where(adopt[..., None], temp_sel, state.sel_views)
+
+    # 6-plane refinement (APD.cu:1311-1383)
+    cur_depth = depth_from_plane(plane_now, xs, ys, ref_cam)
+    ref_planes = refinement_planes(
+        k_refine, plane_now[..., :3], cur_depth, sel_now, rx, ry, xs, ys,
+        ref_cam, src_cams, dyn.depth_min, dyn.depth_max)
+    ref_costs_v = ncc_cost_batch(ctx, ref_planes)          # [6, H, W, V]
+    ref_costs = weighted_cost(ref_costs_v, view_weights[None],
+                              weight_norm[None])            # [6, H, W]
+    ref_depths = jax.vmap(lambda p: depth_from_plane(p, xs, ys, ref_cam))(
+        ref_planes)
+    ref_ok = (ref_depths >= dyn.depth_min) & (ref_depths <= dyn.depth_max)
+    ref_costs = jnp.where(ref_ok, ref_costs, jnp.inf)
+    rmin = jnp.argmin(ref_costs, axis=0)
+    rcost = jnp.take_along_axis(ref_costs, rmin[None], axis=0)[0]
+    rplane = jnp.take_along_axis(ref_planes, rmin[None, ..., None], axis=0)[0]
+    take_ref = rcost < cost_now
+    plane_now = jnp.where(take_ref[..., None], rplane, plane_now)
+    cost_now = jnp.where(take_ref, rcost, cost_now)
+
+    # writeback gate (APD.cu:2727-2736)
+    if static.state == RunState.REFINE_INIT:
+        improved = cost_now < cost0 - 0.1
+        plane_new = jnp.where(improved[..., None], plane_now, state.plane)
+        cost_new = jnp.where(improved, cost_now, cost0)
+    else:
+        plane_new = plane_now
+        cost_new = cost_now
+
+    mask = (parity == color) & (state.weak != PixelState.WEAK)
+    m1 = mask[..., None]
+    return state.replace(
+        plane=jnp.where(m1, plane_new, state.plane),
+        cost=jnp.where(mask, cost_new, state.cost),
+        sel_views=jnp.where(m1, sel_now, state.sel_views),
+        view_weights=jnp.where(m1, view_weights, state.view_weights),
+    )
+
+
+def run_pass(
+    ref_img: jnp.ndarray,             # [H, W] grayscale 0..255
+    src_imgs: jnp.ndarray,            # [V, H, W]
+    ref_cam: Camera,
+    src_cams: Camera,                 # leading [V]
+    static: PMStatic,
+    dyn: PMDynamic,
+    key: jax.Array,
+    init_plane_world: Optional[jnp.ndarray] = None,   # [H, W, 4] (n_w, depth)
+    init_sel_views: Optional[jnp.ndarray] = None,     # [H, W, V] bool
+    init_weak: Optional[jnp.ndarray] = None,          # [H, W] int8
+    src_depths: Optional[jnp.ndarray] = None,         # [V, H, W] for geom
+    radius_map: Optional[jnp.ndarray] = None,
+) -> PassOutput:
+    """Run one full PatchMatch pass for a reference view."""
+    H, W = ref_img.shape
+    V = src_imgs.shape[0]
+    xs, ys = _grids(H, W)
+    rx = (xs - ref_cam.cx) / ref_cam.fx
+    ry = (ys - ref_cam.cy) / ref_cam.fy
+    ray = _ray(rx, ry)
+    parity = (xs.astype(jnp.int32) + ys.astype(jnp.int32)) % 2
+
+    ctx = build_cost_context(
+        ref_img, src_imgs, ref_cam, src_cams,
+        sigma_spatial=dyn.sigma_spatial, sigma_color=dyn.sigma_color,
+        radius_map=radius_map if static.use_radius else None,
+        strong_radius=static.strong_radius)
+    gctx = None
+    if static.geom_consistency and src_depths is not None:
+        gctx = build_geom_context(src_depths, ref_cam, src_cams)
+
+    # ---- initialization (RandomInitialization, APD.cu:1273-1309) ----
+    if init_weak is None:
+        weak = jnp.full((H, W), PixelState.STRONG, jnp.int8)
+    else:
+        weak = init_weak
+    if init_sel_views is None:
+        sel_views = jnp.zeros((H, W, V), bool)
+    else:
+        sel_views = init_sel_views
+    radius = radius_map if radius_map is not None else jnp.zeros((H, W), jnp.float32)
+
+    k_init, k_loop = jax.random.split(key)
+    if static.state == RunState.FIRST_INIT:
+        k_d, k_n = jax.random.split(k_init)
+        rand_d = random_depth(k_d, (H, W), dyn.depth_min, dyn.depth_max)
+        rand_n = visibility_prior_normal(k_n, rand_d, sel_views, rx, ry,
+                                         ref_cam, src_cams)
+        rand_plane = plane_from_normal_depth(rand_n, rand_d, xs, ys, ref_cam)
+        if init_plane_world is None:
+            plane = rand_plane
+        else:
+            prior_d = init_plane_world[..., 3]
+            ok = (prior_d >= dyn.depth_min) & (prior_d <= dyn.depth_max)
+            prior_plane = plane_from_world(init_plane_world, xs, ys, ref_cam)
+            plane = jnp.where(ok[..., None], prior_plane, rand_plane)
+        cost, sel_views = _initial_cost_first(ctx, plane, static.top_k)
+    else:
+        assert init_plane_world is not None and init_sel_views is not None
+        plane = plane_from_world(init_plane_world, xs, ys, ref_cam)
+        cost, sel_views = _initial_cost_refine(ctx, plane, sel_views)
+
+    state = PMState(plane=plane, cost=cost, sel_views=sel_views,
+                    view_weights=jnp.zeros((H, W, V), jnp.float32),
+                    weak=weak, radius=radius)
+
+    # ---- checkerboard iterations ----
+    def iteration(it, st):
+        k_it = jax.random.fold_in(k_loop, it)
+        for color in (0, 1):
+            st = _propagate_color(st, color, it, k_it, ctx, ref_cam, src_cams,
+                                  static, dyn, xs, ys, rx, ry, ray, parity)
+        return st
+
+    state = jax.lax.fori_loop(0, static.max_iterations, iteration, state)
+
+    # ---- post: depth/normal extraction + filters ----
+    depth = depth_from_plane(state.plane, xs, ys, ref_cam)
+    normal_ref = state.plane[..., :3]
+
+    depth = median_filter_depth(depth, state.weak, state.cost)
+
+    weak_new = depth_to_weak(
+        ctx, gctx, dyn.geom_factor, normal_ref, depth, state.sel_views,
+        state.view_weights, xs, ys, ref_cam, src_cams,
+        dyn.depth_min, dyn.depth_max, dyn.weak_peak_radius)
+
+    depth = local_refine(
+        ctx, gctx, dyn.geom_factor, normal_ref, depth, state.sel_views,
+        state.view_weights, xs, ys, ref_cam, src_cams,
+        dyn.depth_min, dyn.depth_max)
+
+    # host-extraction semantics (main.cpp:300-308): out-of-range -> 0/UNKNOWN
+    in_range = (depth >= dyn.depth_min) & (depth <= dyn.depth_max)
+    depth = jnp.where(in_range, depth, 0.0)
+    weak_new = jnp.where(in_range, weak_new, PixelState.UNKNOWN).astype(jnp.int8)
+
+    normal_world = jnp.einsum("ji,hwj->hwi", ref_cam.R, normal_ref)
+    radius_out = jnp.where(state.radius == 0, float(static.strong_radius),
+                           state.radius)
+
+    return PassOutput(depth=depth, normal_world=normal_world, cost=state.cost,
+                      weak=weak_new, sel_views=state.sel_views,
+                      view_weights=state.view_weights, radius=radius_out)
+
+
+def make_pass_fn(static: PMStatic):
+    """jit-compiled run_pass with the static config baked in."""
+    return jax.jit(partial(run_pass, static=static))

@@ -1,0 +1,158 @@
+"""Disparity-sweep kernels: weak/strong reclassification and local refine.
+
+Oracles:
+  * ``DepthToWeak`` (APD.cu:3892-4051): per pixel, sweep ±30 disparity steps
+    of the view-weighted NCC(+geom) cost around the current depth (disparity
+    parametrized by the mean selected-view baseline), find local minima and
+    classify WEAK / STRONG / UNKNOWN from the peak structure.
+  * ``LocalRefine`` (APD.cu:4053-4139): ±5 disparity polish; adopt the best
+    depth if it improves the cost by > 0.1.
+
+Both keep the pixel's current normal and only re-encode the plane offset per
+candidate depth; costs batch through ``lax.map`` over the sweep axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PixelState
+from ..geometry.camera import Camera
+from .geom import GeomContext, geom_consistency_cost
+from .ncc import COST_MAX, CostContext, ncc_cost
+from .sampling import plane_from_normal_depth
+
+
+def _mean_selected_baseline(sel_views: jnp.ndarray, ref_cam: Camera,
+                            src_cams: Camera) -> jnp.ndarray:
+    """Per-pixel mean ||C_ref - C_src|| over selected views -> [H, W]."""
+    bl = jnp.linalg.norm(ref_cam.c[None, :] - src_cams.c, axis=-1)  # [V]
+    sel = sel_views.astype(jnp.float32)
+    cnt = jnp.sum(sel, axis=-1)
+    tot = jnp.sum(sel * bl[None, None, :], axis=-1)
+    return jnp.where(cnt > 0, tot / jnp.maximum(cnt, 1.0), 0.0), cnt
+
+
+def _weighted_sweep_cost(ctx: CostContext, gctx: GeomContext | None,
+                         geom_factor, normal, depth_cand, sel_views,
+                         view_weights, xs, ys, ref_cam,
+                         depth_min, depth_max):
+    """Cost of one candidate depth field under the pixel's normal -> [H, W]."""
+    plane = plane_from_normal_depth(normal, depth_cand, xs, ys, ref_cam)
+    cv = ncc_cost(ctx, plane)                                # [H, W, V]
+    if gctx is not None:
+        cv = cv + geom_factor * geom_consistency_cost(gctx, depth_cand)
+    w = view_weights * sel_views.astype(jnp.float32)
+    norm = jnp.sum(w, axis=-1)
+    cost = jnp.sum(cv * w, axis=-1) / jnp.maximum(norm, 1e-30)
+    in_range = (depth_cand >= depth_min) & (depth_cand <= depth_max)
+    return jnp.where(in_range & (norm > 0), cost, COST_MAX)
+
+
+def depth_to_weak(
+    ctx: CostContext,
+    gctx: GeomContext | None,
+    geom_factor,
+    normal: jnp.ndarray,        # [H, W, 3] ref-frame normal
+    depth: jnp.ndarray,         # [H, W]
+    sel_views: jnp.ndarray,     # [H, W, V] bool
+    view_weights: jnp.ndarray,  # [H, W, V]
+    xs, ys,
+    ref_cam: Camera, src_cams: Camera,
+    depth_min, depth_max, weak_peak_radius,
+    radius_steps: int = 30,
+) -> jnp.ndarray:
+    """Reclassify pixels -> int8 [H, W] of PixelState."""
+    H, W = depth.shape
+    min_margin = 6
+    baseline, nsel = _mean_selected_baseline(sel_views, ref_cam, src_cams)
+
+    fx = ref_cam.fx
+    disp = fx * baseline / jnp.maximum(depth, 1e-12)
+
+    def cost_at(k):
+        p_depth = fx * baseline / (disp + k)
+        return jnp.minimum(COST_MAX, _weighted_sweep_cost(
+            ctx, gctx, geom_factor, normal, p_depth, sel_views, view_weights,
+            xs, ys, ref_cam, depth_min, depth_max))
+
+    ks = jnp.arange(-radius_steps, radius_steps + 1, dtype=jnp.float32)
+    p_costs = jax.lax.map(cost_at, ks)                        # [61, H, W]
+
+    # local minima ("peaks") over i in [2, 58] (APD.cu:4007-4016)
+    interior = jnp.zeros_like(p_costs, dtype=bool)
+    is_min = (p_costs[1:-1] < p_costs[:-2]) & (p_costs[1:-1] < p_costs[2:])
+    interior = interior.at[1:-1].set(is_min)
+    idx = jnp.arange(p_costs.shape[0])[:, None, None]
+    interior = interior & (idx >= 2) & (idx <= 2 * radius_steps - 2)
+
+    peak_count = jnp.sum(interior, axis=0)
+    masked = jnp.where(interior, p_costs, jnp.inf)
+    min_cost = jnp.min(masked, axis=0)
+    min_peak = jnp.argmin(masked, axis=0)
+    has_peak = peak_count > 0
+    min_cost = jnp.where(has_peak, min_cost, COST_MAX)
+    min_peak = jnp.where(has_peak, min_peak, 0)
+
+    # classification cascade (APD.cu:4020-4050)
+    off_center = (jnp.abs(min_peak - radius_steps) > weak_peak_radius) \
+        | (min_cost > 0.5)
+    single = peak_count == 1
+    single_strong = min_cost <= 0.15
+
+    others = interior & (idx != min_peak[None])
+    var = jnp.sqrt(jnp.sum(
+        jnp.where(others, (p_costs - min_cost) ** 2, 0.0), axis=0))
+    var = var / jnp.maximum(peak_count - 1, 1)
+    multi_strong = var > 0.2
+
+    cls = jnp.where(
+        off_center, PixelState.WEAK,
+        jnp.where(single,
+                  jnp.where(single_strong, PixelState.STRONG, PixelState.WEAK),
+                  jnp.where(multi_strong, PixelState.STRONG, PixelState.WEAK)))
+
+    ysg, xsg = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    border = ((xsg < min_margin) | (ysg < min_margin)
+              | (xsg >= W - min_margin) | (ysg >= H - min_margin))
+    unknown = border | (depth == 0) | (nsel == 0)
+    return jnp.where(unknown, PixelState.UNKNOWN, cls).astype(jnp.int8)
+
+
+def local_refine(
+    ctx: CostContext,
+    gctx: GeomContext | None,
+    geom_factor,
+    normal: jnp.ndarray,
+    depth: jnp.ndarray,
+    sel_views: jnp.ndarray,
+    view_weights: jnp.ndarray,
+    xs, ys,
+    ref_cam: Camera, src_cams: Camera,
+    depth_min, depth_max,
+    radius_steps: int = 5,
+) -> jnp.ndarray:
+    """±5-disparity polish of the depth map -> refined depth [H, W]."""
+    baseline, nsel = _mean_selected_baseline(sel_views, ref_cam, src_cams)
+    fx = ref_cam.fx
+    disp = fx * baseline / jnp.maximum(depth, 1e-12)
+
+    def cost_at(k):
+        p_depth = fx * baseline / (disp + k)
+        c = _weighted_sweep_cost(ctx, gctx, geom_factor, normal, p_depth,
+                                 sel_views, view_weights, xs, ys, ref_cam,
+                                 depth_min, depth_max)
+        return c, p_depth
+
+    ks = jnp.arange(-radius_steps, radius_steps + 1, dtype=jnp.float32)
+    costs, depths = jax.lax.map(cost_at, ks)          # [11, H, W] each
+
+    cost_now = _weighted_sweep_cost(ctx, gctx, geom_factor, normal, depth,
+                                    sel_views, view_weights, xs, ys, ref_cam,
+                                    depth_min, depth_max)
+    best = jnp.argmin(costs, axis=0)
+    min_cost = jnp.take_along_axis(costs, best[None], axis=0)[0]
+    best_depth = jnp.take_along_axis(depths, best[None], axis=0)[0]
+    improve = (cost_now - min_cost > 0.1) & (nsel > 0) & (depth != 0)
+    return jnp.where(improve, best_depth, depth)

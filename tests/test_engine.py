@@ -1,0 +1,65 @@
+"""End-to-end engine tests: the strong-only slice must recover depth on a
+synthetic scene from random initialization."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvpmvs.config import PMDynamic, PMStatic, PixelState, RunState
+from dvpmvs.engine import run_pass
+from dvpmvs.geometry import stack_cameras
+from dvpmvs.utils.synthetic import make_scene
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_scene(num_views=5, height=96, width=128, seed=2)
+
+
+def _run_first(scene, view=0, max_iterations=3):
+    ref_cam = scene.cameras[view]
+    src_ids = [v for v in range(len(scene.cameras)) if v != view]
+    src_cams = stack_cameras([scene.cameras[v] for v in src_ids])
+    static = PMStatic(state=RunState.FIRST_INIT, num_src=len(src_ids),
+                      max_iterations=max_iterations)
+    dyn = PMDynamic.create(depth_min=float(scene.cameras[view].depth_min),
+                           depth_max=float(scene.cameras[view].depth_max))
+    out = run_pass(
+        jnp.asarray(scene.images[view]),
+        jnp.asarray(scene.images[src_ids]),
+        ref_cam, src_cams, static, dyn, jax.random.PRNGKey(0))
+    return out
+
+
+def test_first_init_recovers_depth(scene):
+    out = _run_first(scene)
+    gt = scene.gt_depth[0]
+    depth = np.asarray(out.depth)
+    m = 8
+    valid = depth[m:-m, m:-m] > 0
+    rel = np.abs(depth[m:-m, m:-m] - gt[m:-m, m:-m]) / gt[m:-m, m:-m]
+    acc = float(np.mean((rel < 0.02) & valid))
+    # random init + 3 checkerboard iterations on a textured scene
+    assert acc > 0.7, f"2% depth accuracy only {acc:.3f}"
+
+    # normals should roughly agree with GT too (dot > 0.9 on half the px)
+    nw = np.asarray(out.normal_world)
+    R = np.asarray(scene.cameras[0].R)
+    n_cam = nw @ R.T
+    dots = np.sum(n_cam[m:-m, m:-m] * scene.gt_normal[0][m:-m, m:-m], axis=-1)
+    assert float(np.mean(dots > 0.9)) > 0.5
+
+    # selected views: most pixels should select at least 2 sources
+    nsel = np.asarray(jnp.sum(out.sel_views, axis=-1))
+    assert float(np.mean(nsel[m:-m, m:-m] >= 2)) > 0.8
+
+    # weak map: textured scene, most interior pixels classify STRONG
+    weak = np.asarray(out.weak)
+    assert float(np.mean(weak[m:-m, m:-m] == PixelState.STRONG)) > 0.6
+
+
+def test_pass_is_deterministic(scene):
+    out1 = _run_first(scene, max_iterations=1)
+    out2 = _run_first(scene, max_iterations=1)
+    np.testing.assert_array_equal(np.asarray(out1.depth), np.asarray(out2.depth))
