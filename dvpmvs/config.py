@@ -64,6 +64,11 @@ class PMStatic:
     max_views: int = 32             # reference MAX_IMAGES (bitmask width)
     neighbour_num: int = 12         # 1 center + 11 anchors (reference NEIGHBOUR_NUM)
     extend_rounds: int = 0          # extended far-propagation rounds (0..3)
+    # NCC backend: "exact" = per-center-plane window warp via XLA gathers
+    # (reference-faithful, gather-bound); "pallas" = banded-gather TPU kernel
+    # (reference-faithful, fast); "warp" = warp-once approximation (fastest,
+    # degrades convergence from random init — see kernels/ncc.py).
+    cost_backend: str = "exact"
 
     def replace(self, **kw) -> "PMStatic":
         return dataclasses.replace(self, **kw)

@@ -189,7 +189,7 @@ def run_pass(
         ref_img, src_imgs, ref_cam, src_cams,
         sigma_spatial=dyn.sigma_spatial, sigma_color=dyn.sigma_color,
         radius_map=radius_map if static.use_radius else None,
-        strong_radius=static.strong_radius)
+        strong_radius=static.strong_radius, backend=static.cost_backend)
     gctx = None
     if static.geom_consistency and src_depths is not None:
         gctx = build_geom_context(src_depths, ref_cam, src_cams)

@@ -1,4 +1,5 @@
-from .ncc import CostContext, build_cost_context, ncc_cost, ncc_cost_batch, bilinear_sample
+from .ncc import (CostContext, build_cost_context, ncc_cost, ncc_cost_batch,
+                  bilinear_sample, warp_field)
 from .geom import GeomContext, build_geom_context, geom_consistency_cost
 
 __all__ = [

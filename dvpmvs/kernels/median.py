@@ -11,7 +11,7 @@ stack is a sort + index by valid count — dense VPU work.
 
 from __future__ import annotations
 
-import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import PixelState
@@ -44,8 +44,9 @@ def median_filter_depth(depth: jnp.ndarray, weak: jnp.ndarray,
                         cost: jnp.ndarray) -> jnp.ndarray:
     """Two-color checkerboard 21-tap median of the depth map."""
     H, W = depth.shape
-    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-    parity = jnp.asarray((xs + ys) % 2)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    parity = (xs + ys) % 2
     strong = weak == PixelState.STRONG
     eligible = (weak != PixelState.WEAK) & (cost >= 0.001)
 
@@ -53,7 +54,7 @@ def median_filter_depth(depth: jnp.ndarray, weak: jnp.ndarray,
         vals = []
         valid = []
         for (dx, dy) in _TAPS:
-            inb = jnp.asarray(_in_bounds_mask(H, W, dx, dy))
+            inb = _in_bounds_mask(H, W, dx, dy)
             vals.append(shift_map(depth, dx, dy))
             if dx == 0 and dy == 0:
                 valid.append(jnp.ones((H, W), bool))

@@ -5,28 +5,32 @@ bilateral-weighted NCC between the reference patch and its homography-warped
 source patch; cost = clamp(1 - NCC, 0, 2), 2 on degenerate variance or a
 center projecting outside the source view.
 
-TPU-first redesign (not a port):
+TPU-first redesign (not a port).  Hardware facts that shape it (measured on
+v5e): XLA lowers arbitrary gathers to ~1e8 elements/s scalar loops, while
+dense VPU work runs at multiple TFLOP/s.  Gathers are therefore the currency
+to minimize:
 
-  * The CUDA kernel walks a serial per-thread window around each pixel and
-    re-evaluates the reference-side sums for every candidate plane and view.
-    Here all plane-independent quantities — per-tap bilateral weights, ref
-    intensities and their weighted sums — are precomputed ONCE per pass into a
-    ``CostContext``; candidate evaluation touches only source-side sums.
-  * The homography is linear in the tap offset: warped(p + (i, j)) =
-    proj(base + i*col_x + j*col_y) (see geometry.warp_terms), so per tap only
-    two fused multiply-adds of 3-vectors + one projective divide + one
-    bilinear gather remain.  Everything is dense [V, H, W] elementwise work on
-    the VPU except the gather.
-  * Candidate planes batch through ``lax.map`` (sequential, memory-bounded);
-    views are vectorized.
+  * ``warp`` mode (default): ONE bilinear gather per (pixel, view, candidate)
+    builds a warped source field W(q) = src(H_{plane(q)}(q)); every NCC tap
+    then reads W at a *static integer offset* — a free shifted view, no
+    gather.  The tap at p+Δ evaluates the homography of the plane at p+Δ
+    rather than at p; for locally consistent plane fields (the converged
+    PatchMatch state) the two agree, and the deviation only appears at plane
+    discontinuities.  144 gathers/(pixel·view) -> 4.
+  * ``exact`` mode: the reference's per-center-plane window warp, 36 taps x 4
+    bilinear gathers, used by tests and tiny problems.
 
-The per-pixel adaptive radius (``use_radius``, APD.cu:1042-1047) is expressed
-as a fixed 6x6 *normalized* tap grid r * {±0.2, ±0.6, ±1.0}² which reproduces
-the reference exactly for the default radius=5/increment=2 window and scales
-smoothly for larger radii (the reference re-derives increment = 2r/5).
+Plane-independent quantities (bilateral weights, ref-side moments, per-view
+homography constants) are precomputed once per pass into a ``CostContext``;
+candidate evaluation touches only source-side sums.  The per-pixel adaptive
+radius (``use_radius``, APD.cu:1042-1047) uses a normalized 6x6 tap grid
+r * {±0.2, ±0.6, ±1.0}² which is exact for the default radius-5/increment-2
+window.
 """
 
 from __future__ import annotations
+
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -80,6 +84,11 @@ def _bilinear_sample_batch(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
     return jax.vmap(bilinear_sample)(imgs, x, y)
 
 
+def shift2(arr: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
+    """out[..., y, x] = arr[..., y+dy, x+dx] (wrap; callers mask borders)."""
+    return jnp.roll(arr, shift=(-dy, -dx), axis=(-2, -1))
+
+
 class CostContext(struct.PyTreeNode):
     """Plane-independent, per-pass precomputation for the NCC cost."""
 
@@ -97,6 +106,9 @@ class CostContext(struct.PyTreeNode):
     sum_wref: jnp.ndarray     # [H, W]
     sum_wref2: jnp.ndarray    # [H, W]
     src_wh: jnp.ndarray       # [V, 2] source view (width, height) bounds
+    backend: str = struct.field(pytree_node=False, default="exact")
+    strong_radius: int = struct.field(pytree_node=False, default=5)
+    packed_quads: Optional[jnp.ndarray] = None   # [V, H, W] int32 (pallas)
 
     @property
     def num_views(self) -> int:
@@ -114,9 +126,10 @@ def build_cost_context(
     src_cams: Camera,
     sigma_spatial,
     sigma_color,
-    radius_map: jnp.ndarray | None = None,
+    radius_map: Optional[jnp.ndarray] = None,
     strong_radius: int = 5,
-    src_wh: jnp.ndarray | None = None,
+    src_wh: Optional[jnp.ndarray] = None,
+    backend: str = "exact",
 ) -> CostContext:
     """Precompute everything the candidate loop reuses.
 
@@ -124,8 +137,8 @@ def build_cost_context(
     enables the adaptive window; zeros fall back to ``strong_radius``.
     """
     H, W = ref_img.shape
-    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
-                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     rx = (xs - ref_cam.cx) / ref_cam.fx
     ry = (ys - ref_cam.cy) / ref_cam.fy
     M, b = homography_terms(ref_cam, src_cams)
@@ -174,31 +187,32 @@ def build_cost_context(
         V = src_imgs.shape[0]
         src_wh = jnp.tile(jnp.asarray([[W, H]], jnp.float32), (V, 1))
 
+    packed = None
+    if backend == "pallas":
+        from .ncc_pallas import pack_quads
+        packed = pack_quads(src_imgs)
+
     return CostContext(
         src_imgs=src_imgs, rx=rx, ry=ry, M=M, b=b,
         inv_fx=1.0 / ref_cam.fx, inv_fy=1.0 / ref_cam.fy,
         radius=radius, w_taps=w_taps, wref_taps=wref_taps,
         sum_w=sum_w, sum_wref=sum_wref, sum_wref2=sum_wref2,
         src_wh=jnp.asarray(src_wh, jnp.float32),
+        backend=backend, strong_radius=strong_radius,
+        packed_quads=packed,
     )
 
 
-def ncc_cost(ctx: CostContext, plane: jnp.ndarray) -> jnp.ndarray:
-    """Bilateral-NCC cost of one plane field.
+def _warp_terms(ctx: CostContext, plane: jnp.ndarray):
+    """Per-(view, pixel) homography pieces: base + i*col_x + j*col_y.
 
-    plane [H, W, 4] (ref-frame n, dist w) -> cost [H, W, V] in [0, 2].
-    """
-    H, W = ctx.shape
-    V = ctx.num_views
+    plane [H, W, 4] -> nine [V, H, W] fields (all elementwise f32)."""
     n = plane[..., :3]
     w_d = plane[..., 3]
-
-    s = (n[..., 0] * ctx.rx + n[..., 1] * ctx.ry + n[..., 2]) / w_d   # [H,W]
+    s = (n[..., 0] * ctx.rx + n[..., 1] * ctx.ry + n[..., 2]) / w_d
     sx = n[..., 0] * ctx.inv_fx / w_d
     sy = n[..., 1] * ctx.inv_fy / w_d
 
-    # base = M u - b s ;  col_x = M[:,0]/fx - b sx ;  col_y = M[:,1]/fy - b sy
-    # expanded elementwise (full f32 on the VPU, no implicit bf16 matmul)
     def mvu(Mv):  # Mv [V, 3] row of M -> [V, H, W]
         return (Mv[:, 0, None, None] * ctx.rx + Mv[:, 1, None, None] * ctx.ry
                 + Mv[:, 2, None, None])
@@ -212,8 +226,11 @@ def ncc_cost(ctx: CostContext, plane: jnp.ndarray) -> jnp.ndarray:
     cy0 = ctx.M[:, 0, 1, None, None] * ctx.inv_fy - ctx.b[:, 0, None, None] * sy
     cy1 = ctx.M[:, 1, 1, None, None] * ctx.inv_fy - ctx.b[:, 1, None, None] * sy
     cy2 = ctx.M[:, 2, 1, None, None] * ctx.inv_fy - ctx.b[:, 2, None, None] * sy
+    return (base0, base1, base2), (cx0, cx1, cx2), (cy0, cy1, cy2)
 
-    # center in-bounds check (APD.cu:1039-1041)
+
+def _center_and_inview(ctx, base):
+    base0, base1, base2 = base
     cz = jnp.where(jnp.abs(base2) < 1e-12, 1e-12, base2)
     cx_pix = base0 / cz
     cy_pix = base1 / cz
@@ -221,28 +238,23 @@ def ncc_cost(ctx: CostContext, plane: jnp.ndarray) -> jnp.ndarray:
     sh = ctx.src_wh[:, 1, None, None]
     in_view = ((cx_pix >= 0) & (cx_pix < sw) & (cy_pix >= 0) & (cy_pix < sh)
                & (base2 > 0))
+    return cx_pix, cy_pix, in_view
 
-    taps = tap_grid()
-    T = taps.shape[0]
-    sum_wsrc = jnp.zeros((V, H, W), jnp.float32)
-    sum_wsrc2 = jnp.zeros((V, H, W), jnp.float32)
-    sum_wrefsrc = jnp.zeros((V, H, W), jnp.float32)
-    for t in range(T):
-        gx, gy = float(taps[t, 0]), float(taps[t, 1])
-        di = gx * ctx.radius   # [H, W]
-        dj = gy * ctx.radius
-        hx = base0 + di * cx0 + dj * cy0
-        hy = base1 + di * cx1 + dj * cy1
-        hz = base2 + di * cx2 + dj * cy2
-        hz = jnp.where(jnp.abs(hz) < 1e-12, 1e-12, hz)
-        px = hx / hz
-        py = hy / hz
-        src_t = _bilinear_sample_batch(ctx.src_imgs, px, py)   # [V, H, W]
-        wt = ctx.w_taps[t]                                     # [H, W]
-        sum_wsrc = sum_wsrc + wt * src_t
-        sum_wsrc2 = sum_wsrc2 + wt * src_t * src_t
-        sum_wrefsrc = sum_wrefsrc + ctx.wref_taps[t] * src_t
 
+def warp_field(ctx: CostContext, plane: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Warped source field W[v](p) = src_v(H_{plane(p)}(p)) and validity.
+
+    ONE bilinear gather per (view, pixel): the only gather in warp mode.
+    Returns (warped [V, H, W], in_view [V, H, W]).
+    """
+    base, _, _ = _warp_terms(ctx, plane)
+    cx_pix, cy_pix, in_view = _center_and_inview(ctx, base)
+    warped = _bilinear_sample_batch(ctx.src_imgs, cx_pix, cy_pix)
+    return warped, in_view
+
+
+def _ncc_from_moments(ctx, sum_wsrc, sum_wsrc2, sum_wrefsrc, in_view):
     inv = 1.0 / ctx.sum_w
     m_ref = ctx.sum_wref * inv                    # [H, W]
     m_ref2 = ctx.sum_wref2 * inv
@@ -250,8 +262,8 @@ def ncc_cost(ctx: CostContext, plane: jnp.ndarray) -> jnp.ndarray:
     m_src2 = sum_wsrc2 * inv
     m_refsrc = sum_wrefsrc * inv
 
-    var_ref = m_ref2 - m_ref * m_ref              # [H, W]
-    var_src = m_src2 - m_src * m_src              # [V, H, W]
+    var_ref = m_ref2 - m_ref * m_ref
+    var_src = m_src2 - m_src * m_src
     covar = m_refsrc - m_ref * m_src
     var_prod = jnp.sqrt(jnp.maximum(var_ref * var_src, 0.0))
     ncc = covar / jnp.maximum(var_prod, 1e-30)
@@ -259,6 +271,72 @@ def ncc_cost(ctx: CostContext, plane: jnp.ndarray) -> jnp.ndarray:
     degenerate = (var_ref < _K_MIN_VAR) | (var_src < _K_MIN_VAR)
     cost = jnp.where(degenerate | ~in_view, COST_MAX, cost)
     return jnp.moveaxis(cost, 0, -1)              # [H, W, V]
+
+
+def _ncc_cost_warp(ctx: CostContext, plane: jnp.ndarray) -> jnp.ndarray:
+    """Warp-once NCC: static-shift taps over the warped source field."""
+    H, W = ctx.shape
+    V = ctx.num_views
+    warped, in_view = warp_field(ctx, plane)
+
+    taps = tap_grid()
+    r = ctx.strong_radius
+    sum_wsrc = jnp.zeros((V, H, W), jnp.float32)
+    sum_wsrc2 = jnp.zeros((V, H, W), jnp.float32)
+    sum_wrefsrc = jnp.zeros((V, H, W), jnp.float32)
+    for t in range(taps.shape[0]):
+        dx = float(taps[t, 0]) * r
+        dy = float(taps[t, 1]) * r
+        dxi, dyi = int(round(dx)), int(round(dy))
+        src_t = shift2(warped, dxi, dyi)          # [V, H, W] free shift
+        wt = ctx.w_taps[t]                        # [H, W]
+        sum_wsrc = sum_wsrc + wt * src_t
+        sum_wsrc2 = sum_wsrc2 + wt * src_t * src_t
+        sum_wrefsrc = sum_wrefsrc + ctx.wref_taps[t] * src_t
+    return _ncc_from_moments(ctx, sum_wsrc, sum_wsrc2, sum_wrefsrc, in_view)
+
+
+def _ncc_cost_exact(ctx: CostContext, plane: jnp.ndarray) -> jnp.ndarray:
+    """Reference-exact NCC: per-tap homography warp of the center plane."""
+    H, W = ctx.shape
+    V = ctx.num_views
+    base, colx, coly = _warp_terms(ctx, plane)
+    base0, base1, base2 = base
+    cx0, cx1, cx2 = colx
+    cy0, cy1, cy2 = coly
+    _, _, in_view = _center_and_inview(ctx, base)
+
+    taps = tap_grid()
+    sum_wsrc = jnp.zeros((V, H, W), jnp.float32)
+    sum_wsrc2 = jnp.zeros((V, H, W), jnp.float32)
+    sum_wrefsrc = jnp.zeros((V, H, W), jnp.float32)
+    for t in range(taps.shape[0]):
+        gx, gy = float(taps[t, 0]), float(taps[t, 1])
+        di = gx * ctx.radius
+        dj = gy * ctx.radius
+        hx = base0 + di * cx0 + dj * cy0
+        hy = base1 + di * cx1 + dj * cy1
+        hz = base2 + di * cx2 + dj * cy2
+        hz = jnp.where(jnp.abs(hz) < 1e-12, 1e-12, hz)
+        src_t = _bilinear_sample_batch(ctx.src_imgs, hx / hz, hy / hz)
+        wt = ctx.w_taps[t]
+        sum_wsrc = sum_wsrc + wt * src_t
+        sum_wsrc2 = sum_wsrc2 + wt * src_t * src_t
+        sum_wrefsrc = sum_wrefsrc + ctx.wref_taps[t] * src_t
+    return _ncc_from_moments(ctx, sum_wsrc, sum_wsrc2, sum_wrefsrc, in_view)
+
+
+def ncc_cost(ctx: CostContext, plane: jnp.ndarray) -> jnp.ndarray:
+    """Bilateral-NCC cost of one plane field.
+
+    plane [H, W, 4] (ref-frame n, dist w) -> cost [H, W, V] in [0, 2].
+    """
+    if ctx.backend == "warp":
+        return _ncc_cost_warp(ctx, plane)
+    if ctx.backend == "pallas":
+        from .ncc_pallas import ncc_cost_pallas
+        return ncc_cost_pallas(ctx, plane)
+    return _ncc_cost_exact(ctx, plane)
 
 
 def ncc_cost_batch(ctx: CostContext, planes: jnp.ndarray) -> jnp.ndarray:

@@ -67,8 +67,15 @@ def shift_map(arr: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
     return jnp.roll(arr, shift=(-dy, -dx), axis=(0, 1))
 
 
-def _in_bounds_mask(H: int, W: int, dx: int, dy: int) -> np.ndarray:
-    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+def _in_bounds_mask(H: int, W: int, dx: int, dy: int) -> jnp.ndarray:
+    """Traced (iota-based) in-bounds mask.
+
+    Deliberately NOT a numpy constant: large constants embedded in compiled
+    programs are re-streamed to the device on every execution under tunneled
+    TPU runtimes — iota is generated on-device for free.
+    """
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     return ((xs + dx >= 0) & (xs + dx < W) & (ys + dy >= 0) & (ys + dy < H))
 
 
@@ -103,13 +110,13 @@ def select_candidates(
                 offsets = [(x + int(np.sign(x)) * push, y + int(np.sign(y)) * push)
                            for (x, y) in offsets]
         bx, by = offsets[0]
-        base_ok = jnp.asarray(_in_bounds_mask(H, W, bx, by))
+        base_ok = _in_bounds_mask(H, W, bx, by)
         if strong_ok is not None:
             base_ok = base_ok & shift_map(strong_ok, bx, by)
         best_cost = jnp.where(base_ok, shift_map(cost, bx, by), jnp.inf)
         best_plane = shift_map(plane, bx, by)
         for (ox, oy) in offsets[1:]:
-            ok = jnp.asarray(_in_bounds_mask(H, W, ox, oy))
+            ok = _in_bounds_mask(H, W, ox, oy)
             if strong_ok is not None:
                 ok = ok & shift_map(strong_ok, ox, oy)
             c = shift_map(cost, ox, oy)

@@ -31,13 +31,14 @@ def _gt_plane(scene, view=0):
     return jnp.concatenate([n, w[..., None]], axis=-1)
 
 
-def _ctx(scene, view=0):
+def _ctx(scene, view=0, backend="exact"):
     ref = scene.cameras[view]
     src_ids = [v for v in range(len(scene.cameras)) if v != view]
     src_cams = stack_cameras([scene.cameras[v] for v in src_ids])
     src_imgs = jnp.asarray(scene.images[src_ids])
     return build_cost_context(jnp.asarray(scene.images[view]), src_imgs,
-                              ref, src_cams, sigma_spatial=5.0, sigma_color=3.0), src_ids
+                              ref, src_cams, sigma_spatial=5.0,
+                              sigma_color=3.0, backend=backend), src_ids
 
 
 def test_bilinear_sample_exact_at_integers():
@@ -84,6 +85,25 @@ def test_out_of_view_is_cost_max(scene):
     cost = ncc_cost(ctx, plane_far)
     frac_max = float(jnp.mean(cost >= 1.99))
     assert frac_max > 0.5
+
+
+def test_warp_mode_matches_exact_on_smooth_fields(scene):
+    """Warp-once cost == exact cost when the plane field is locally smooth
+    (taps then see the same homography either way, up to interpolation)."""
+    ctx_e, _ = _ctx(scene, backend="exact")
+    ctx_w, _ = _ctx(scene, backend="warp")
+    plane = _gt_plane(scene)
+    ce = ncc_cost(ctx_e, plane)
+    cw = ncc_cost(ctx_w, plane)
+    m = 10
+    # medians agree and per-pixel costs correlate strongly in the interior
+    diff = jnp.abs(ce - cw)[m:-m, m:-m]
+    assert float(jnp.median(diff)) < 0.05
+    # discrimination is preserved
+    bad = plane.at[..., 3].mul(1.10)
+    med_good = float(jnp.median(cw[m:-m, m:-m]))
+    med_bad = float(jnp.median(ncc_cost(ctx_w, bad)[m:-m, m:-m]))
+    assert med_bad > 5.0 * max(med_good, 0.005)
 
 
 def test_geom_consistency_gt_near_zero(scene):
