@@ -1,0 +1,713 @@
+"""Weak-pixel (adaptive deformable patch) machinery.
+
+Oracles (all re-designed for dense TPU execution, not ported):
+  * ``FindNearestStrongPoint`` (APD.cu:4159-4193): per WEAK pixel the nearest
+    STRONG pixel within 100 px.  Here: jump-flooding (O(log R) rounds of 9
+    static shifts) — returns the approximately-nearest strong seed.
+  * ``GenEdgeInform`` (APD.cu:3731-3890): per-view visibility-aware sparse
+    patch candidate offsets, nearest-edge ray distances, edge-density
+    complexity, use_detail demotion, label-boundary rays.
+  * ``GenNeighbours`` (APD.cu:3330-3711): deformable-patch anchors — per
+    direction ray search for STRONG pixels (with nearest-strong redirect and
+    edge-crossing limits) followed by a RANSAC plane vote; anchors sorted by
+    distance-to-plane, best 11 kept, pixel marked unreliable otherwise.
+    Here the ray search uses a static direction x radius offset table (the
+    reference's per-sample jitter becomes two half-angle sub-rays), and the
+    edge-crossing test is a cumulative OR of edge hits along each ray.
+  * ``RANSACToGetFitPlane`` (APD.cu:4195-4404): per-iteration plane fit over
+    the 11 anchors + adaptive NCC radius.  The reference indexes
+    ``strong_points[-1]`` for the radius triangle (bug B2, SURVEY §2.5);
+    here the winning triad is tracked correctly.
+
+Dense layout: anchors live in [A, H, W] coordinate planes (A = anchor slot),
+validity as masks; per-pixel compaction (the reference's neighbours_map) is
+unnecessary on a SIMD machine.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import PixelState
+from ..geometry.camera import Camera
+from .propagation import shift_map, _in_bounds_mask
+
+
+# ---------------------------------------------------------------------------
+# nearest strong pixel (jump flooding)
+# ---------------------------------------------------------------------------
+
+def nearest_strong(weak: jnp.ndarray, max_radius: int = 100
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Approximate nearest-STRONG coordinates per pixel.
+
+    Returns (coords [H, W, 2] int32 (x, y), valid [H, W]).  Pixels that are
+    themselves STRONG map to themselves.
+    """
+    H, W = weak.shape
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    strong = weak == PixelState.STRONG
+
+    best_x = jnp.where(strong, xs, -1)
+    best_y = jnp.where(strong, ys, -1)
+    INF = jnp.int32(1 << 28)
+    best_d = jnp.where(strong, 0, INF)
+
+    step = 1
+    steps = []
+    while step <= max_radius:
+        steps.append(step)
+        step *= 2
+    for s in reversed(steps):
+        for dy in (-s, 0, s):
+            for dx in (-s, 0, s):
+                if dx == 0 and dy == 0:
+                    continue
+                inb = _in_bounds_mask(H, W, dx, dy)
+                cx = shift_map(best_x, dx, dy)
+                cy = shift_map(best_y, dx, dy)
+                ok = inb & (cx >= 0)
+                d = jnp.where(ok, (cx - xs) ** 2 + (cy - ys) ** 2, INF)
+                better = d < best_d
+                best_x = jnp.where(better, cx, best_x)
+                best_y = jnp.where(better, cy, best_y)
+                best_d = jnp.minimum(best_d, d)
+
+    valid = (best_d <= max_radius * max_radius) & (best_x >= 0)
+    coords = jnp.stack([best_x, best_y], axis=-1)
+    return coords, valid
+
+
+# ---------------------------------------------------------------------------
+# edge / label ray distances (min-plus scans along 8 directions)
+# ---------------------------------------------------------------------------
+
+_RAY_DIRS = ((0, -1), (0, 1), (-1, 0), (1, 0),
+             (-1, -1), (1, 1), (-1, 1), (1, -1))
+
+_BIG = 1e9
+
+
+def _minplus_scan(v: jnp.ndarray, axis: int, reverse: bool) -> jnp.ndarray:
+    """out[i] = min_{k>=i}(v[k] + (k - i)) along ``axis`` (or k<=i reversed).
+
+    The min-plus "distance to next obstacle" recurrence is associative:
+    combine(a, b over n steps) -> min(a, b + n).  Implemented by log-doubling
+    with static shifts.
+    """
+    n = v.shape[axis]
+    out = v
+    shift = 1
+    while shift < n:
+        rolled = jnp.roll(out, -shift if not reverse else shift, axis=axis)
+        # mask the wrap-around
+        idx = jax.lax.broadcasted_iota(jnp.int32, out.shape, axis)
+        if not reverse:
+            ok = idx + shift < n
+        else:
+            ok = idx - shift >= 0
+        cand = jnp.where(ok, rolled + shift, _BIG)
+        out = jnp.minimum(out, cand)
+        shift *= 2
+    return out
+
+
+def _shear_fwd(v: jnp.ndarray, sign: int) -> jnp.ndarray:
+    """Align diagonals into columns: out [H, W+H] with
+    out[y, x - sign*y + (H if sign>0 else 0)] = v[y, x]; rest = BIG.
+
+    sign=-1 aligns direction (+1,+1)/(-1,-1); sign=+1 aligns (+1,-1)/(-1,+1).
+    (No wrap-around: the output is padded by H columns.)
+    """
+    H, W = v.shape
+    off = H if sign > 0 else 0
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W + H), 0)
+    js = jax.lax.broadcasted_iota(jnp.int32, (H, W + H), 1)
+    src_x = js - off + sign * ys
+    ok = (src_x >= 0) & (src_x < W)
+    return jnp.where(ok, jnp.take_along_axis(
+        v, jnp.clip(src_x, 0, W - 1), axis=-1), _BIG)
+
+
+def _shear_back(S: jnp.ndarray, sign: int, W: int) -> jnp.ndarray:
+    """Inverse of ``_shear_fwd``: out[y, x] = S[y, x - sign*y + off]."""
+    H = S.shape[0]
+    off = H if sign > 0 else 0
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    j = xs - sign * ys + off
+    return jnp.take_along_axis(S, jnp.clip(j, 0, S.shape[1] - 1), axis=-1)
+
+
+def edge_ray_distance(edge: jnp.ndarray) -> jnp.ndarray:
+    """Euclidean distance to the first edge pixel along each of 8 rays.
+
+    edge [H, W] bool -> dist [8, H, W] float (BIG when no edge before the
+    border), in _RAY_DIRS order.  Matches GenEdgeInform's ray walk
+    (APD.cu:3799-3824) with distance instead of coordinates (the consumers
+    only use distances or the hit point = p + k * dir).
+    """
+    H, W = edge.shape
+    v = jnp.where(edge, 0.0, _BIG)
+
+    # min-plus scans give "steps to first obstacle at or after p"; shift by
+    # one step so the ray starts at p + dir (the reference skips p itself).
+    def offset1(dist, dx, dy, scale):
+        inb = _in_bounds_mask(H, W, dx, dy)
+        d = jnp.where(inb, shift_map(dist, dx, dy) + 1.0, _BIG)
+        return jnp.where(d >= _BIG, _BIG, d * scale)
+
+    up = _minplus_scan(v, 0, reverse=True)
+    down = _minplus_scan(v, 0, reverse=False)
+    left = _minplus_scan(v, 1, reverse=True)
+    right = _minplus_scan(v, 1, reverse=False)
+
+    # diagonals: pad-shear so each diagonal becomes a column, scan, unshear
+    S_pp = _shear_fwd(v, +1)   # columns follow (+1,+1)/(-1,-1)
+    S_pm = _shear_fwd(v, -1)   # columns follow (-1,+1)/(+1,-1)
+    d_dr = _shear_back(_minplus_scan(S_pp, 0, reverse=False), +1, W)
+    d_ul = _shear_back(_minplus_scan(S_pp, 0, reverse=True), +1, W)
+    d_dl = _shear_back(_minplus_scan(S_pm, 0, reverse=False), -1, W)
+    d_ur = _shear_back(_minplus_scan(S_pm, 0, reverse=True), -1, W)
+
+    sq2 = math.sqrt(2.0)
+    parts = [
+        offset1(up, 0, -1, 1.0), offset1(down, 0, 1, 1.0),
+        offset1(left, -1, 0, 1.0), offset1(right, 1, 0, 1.0),
+        offset1(d_ul, -1, -1, sq2), offset1(d_dr, 1, 1, sq2),
+        offset1(d_dl, -1, 1, sq2), offset1(d_ur, 1, -1, sq2),
+    ]
+    return jnp.stack(parts)
+
+
+def label_boundary_distance(label: jnp.ndarray) -> jnp.ndarray:
+    """Distance to the first label-change along each of 8 rays ([8, H, W]).
+
+    TPU reformulation of the reference's "last same-label point" walk
+    (APD.cu:3852-3889): label transitions are obstacles; the boundary point
+    is p + (dist-1) * dir.
+    """
+    H, W = label.shape
+    dists = []
+    for (dx, dy) in _RAY_DIRS:
+        inb = _in_bounds_mask(H, W, dx, dy)
+        change = jnp.where(inb, shift_map(label, dx, dy) != label, True)
+        v = jnp.where(change, 0.0, _BIG)
+        if dy == 0:
+            d = _minplus_scan(v, 1, reverse=dx < 0)
+        elif dx == 0:
+            d = _minplus_scan(v, 0, reverse=dy < 0)
+        else:
+            sign = +1 if dx == dy else -1
+            d = _shear_back(
+                _minplus_scan(_shear_fwd(v, sign), 0, reverse=dy < 0),
+                sign, W)
+        dists.append(d)
+    return jnp.stack(dists)
+
+
+# ---------------------------------------------------------------------------
+# complexity + detail demotion (GenEdgeInform c/d)
+# ---------------------------------------------------------------------------
+
+def edge_complexity(edge: jnp.ndarray, radius: int = 5) -> jnp.ndarray:
+    """sigma(25*(edge density in (2r+1)^2 window - 0.35)) (APD.cu:3826-3845)."""
+    H, W = edge.shape
+    e = edge.astype(jnp.float32)
+    cnt = jnp.zeros((H, W), jnp.float32)
+    tot = jnp.zeros((H, W), jnp.float32)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            inb = _in_bounds_mask(H, W, dx, dy)
+            cnt = cnt + jnp.where(inb, shift_map(e, dx, dy), 0.0)
+            tot = tot + inb.astype(jnp.float32)
+    density = cnt / jnp.maximum(tot, 1.0)
+    return jax.nn.sigmoid(25.0 * (density - 0.35))
+
+
+def demote_detail(weak: jnp.ndarray, edge: Optional[jnp.ndarray],
+                  label: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """REFINE_INIT use_detail: edge pixels / label-0 pixels that are not
+    STRONG become UNKNOWN (APD.cu:3847-3849, 3886-3888)."""
+    demote = jnp.zeros(weak.shape, bool)
+    if edge is not None:
+        demote |= edge.astype(bool)
+    if label is not None:
+        demote |= (label == 0)
+    hit = demote & (weak != PixelState.STRONG)
+    return jnp.where(hit, PixelState.UNKNOWN, weak).astype(jnp.int8)
+
+
+# ---------------------------------------------------------------------------
+# per-view sparse-patch candidate offsets (GenEdgeInform a)
+# ---------------------------------------------------------------------------
+
+def _angular_region(dx: int, dy: int) -> int:
+    ang = math.degrees(math.atan2(dy, dx))
+    if ang < 0:
+        ang += 360.0
+    return min(int(ang // 30), 11)
+
+
+def patch_candidates(ref_img: jnp.ndarray, sel_views: jnp.ndarray,
+                     sigma_color, weak_radius: int = 5,
+                     num_out: int = 8) -> jnp.ndarray:
+    """Visibility-aware sparse patch offsets per (pixel, view).
+
+    For every source view: bucket the (2r+1)^2-1 window offsets into 12
+    angular regions, keep the max-bilateral-weight VISIBLE offset per region,
+    then the top ``num_out`` regions by weight (APD.cu:3744-3794).
+
+    Returns offsets [V, num_out, H, W, 2] int8 ((0,0) = empty slot; consumers
+    substitute the fixed ±5 grid, matching the reference's convention).
+    """
+    H, W = ref_img.shape
+    V = sel_views.shape[-1]
+    sigma_color = jnp.asarray(sigma_color, jnp.float32)
+
+    offsets = [(dx, dy) for dy in range(-weak_radius, weak_radius + 1)
+               for dx in range(-weak_radius, weak_radius + 1)
+               if not (dx == 0 and dy == 0)]
+    regions = [_angular_region(dx, dy) for (dx, dy) in offsets]
+
+    sel = jnp.moveaxis(sel_views, -1, 0)          # [V, H, W]
+
+    def per_view(sel_v):
+        reg_w = [jnp.full((H, W), -jnp.inf) for _ in range(12)]
+        reg_dx = [jnp.zeros((H, W), jnp.int8) for _ in range(12)]
+        reg_dy = [jnp.zeros((H, W), jnp.int8) for _ in range(12)]
+        for (dx, dy), reg in zip(offsets, regions):
+            inb = _in_bounds_mask(H, W, dx, dy)
+            vis = inb & shift_map(sel_v, dx, dy)
+            pix = shift_map(ref_img, dx, dy)
+            wgt = jnp.exp(-jnp.abs(pix - ref_img)
+                          / (2.0 * sigma_color * sigma_color))
+            wgt = jnp.where(vis, wgt, -jnp.inf)
+            better = wgt > reg_w[reg]
+            reg_w[reg] = jnp.where(better, wgt, reg_w[reg])
+            reg_dx[reg] = jnp.where(better, jnp.int8(dx), reg_dx[reg])
+            reg_dy[reg] = jnp.where(better, jnp.int8(dy), reg_dy[reg])
+
+        w_stack = jnp.stack(reg_w)                # [12, H, W]
+        dx_stack = jnp.stack(reg_dx)
+        dy_stack = jnp.stack(reg_dy)
+        order = jnp.argsort(-w_stack, axis=0)     # descending weight
+        top = order[:num_out]
+        odx = jnp.take_along_axis(dx_stack, top, axis=0)
+        ody = jnp.take_along_axis(dy_stack, top, axis=0)
+        topw = jnp.take_along_axis(w_stack, top, axis=0)
+        empty = ~jnp.isfinite(topw)
+        odx = jnp.where(empty, 0, odx)
+        ody = jnp.where(empty, 0, ody)
+        return jnp.stack([odx, ody], axis=-1)     # [num_out, H, W, 2]
+
+    return jax.lax.map(per_view, sel)             # [V, num_out, H, W, 2]
+
+
+# ---------------------------------------------------------------------------
+# anchor generation (GenNeighbours) — static ray tables + redirect
+# ---------------------------------------------------------------------------
+
+NUM_ANCHORS = 11        # reference NEIGHBOUR_NUM - 1
+
+_BASE_DIRS = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
+              (0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+def _ray_offsets(max_extent: int):
+    """Radius schedule r = 2, min(2r, r+25) ... (APD.cu:3404)."""
+    radii = []
+    r = 2
+    while r <= max_extent:
+        radii.append(r)
+        r = min(2 * r, r + 25)
+    return radii
+
+
+class AnchorResult(NamedTuple):
+    coords: jnp.ndarray     # [A, H, W, 2] int32 (x, y); -1 = invalid
+    valid: jnp.ndarray      # [A, H, W]
+    reliable: jnp.ndarray   # [H, W] bool
+
+
+def find_anchors(
+    weak: jnp.ndarray,                  # [H, W] int8
+    plane: jnp.ndarray,                 # [H, W, 4] current hypotheses
+    ref_cam: Camera,
+    key: jax.Array,
+    rotate_time: int = 4,
+    edge: Optional[jnp.ndarray] = None,
+    complexity: Optional[jnp.ndarray] = None,
+    ransac_threshold=0.005,
+    depth_range=1.0,
+    use_limit: bool = True,
+    ransac_iters: int = 50,
+) -> AnchorResult:
+    """Directional STRONG-anchor search + RANSAC reliability vote.
+
+    Returns the best NUM_ANCHORS anchors per weak pixel (sorted by distance
+    to the RANSAC plane) and the reliability mask.
+    """
+    H, W = weak.shape
+    strong = weak == PixelState.STRONG
+    ns_coords, ns_valid = nearest_strong(weak)
+
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+
+    # --- static direction set: 8 base dirs x rotate_time rotations (the
+    #     reference's per-sample angular jitter is subsumed by the cone test
+    #     + nearest-strong redirects; duplicate sub-rays would crowd the
+    #     final distance-sorted anchor list with near-copies)
+    angle = 45.0 / rotate_time
+    cone_cos = math.cos(math.radians(angle / 2.0))
+    dirs = []
+    for bx, by in _BASE_DIRS:
+        norm = math.hypot(bx, by)
+        base_ang = math.atan2(by / norm, bx / norm)
+        for rot in range(rotate_time):
+            a = base_ang + math.radians(angle * rot)
+            dirs.append((math.cos(a), math.sin(a)))
+
+    max_extent = max(H, W)
+    radii = _ray_offsets(max_extent)
+
+    # --- per (direction, radius) static offsets; first STRONG hit per dir
+    edge_b = edge.astype(bool) if edge is not None else None
+    if use_limit and complexity is not None:
+        bypass = (jax.random.uniform(key, (H, W)) < complexity)
+    else:
+        bypass = jnp.zeros((H, W), bool)
+
+    anchor_x = []
+    anchor_y = []
+    anchor_ok = []
+    for (ux, uy) in dirs:
+        found = jnp.zeros((H, W), bool)
+        ax = jnp.full((H, W), -1, jnp.int32)
+        ay = jnp.full((H, W), -1, jnp.int32)
+        blocked = jnp.zeros((H, W), bool)
+        prev_dx = prev_dy = 0
+        for r in radii:
+            dx = int(round(ux * r))
+            dy = int(round(uy * r))
+            if abs(dx) >= W or abs(dy) >= H:
+                break
+            # edge-crossing accumulates along the ray (Bresenham proxy:
+            # sample midpoints between consecutive radii)
+            if edge_b is not None and use_limit:
+                mx = (dx + prev_dx) // 2
+                my = (dy + prev_dy) // 2
+                for (sx, sy) in ((mx, my), (dx, dy)):
+                    inb = _in_bounds_mask(H, W, sx, sy)
+                    blocked = blocked | (inb & shift_map(edge_b, sx, sy))
+            prev_dx, prev_dy = dx, dy
+
+            inb = _in_bounds_mask(H, W, dx, dy)
+            cand_strong = inb & shift_map(strong, dx, dy)
+            # redirect non-strong hits to their nearest strong pixel
+            red_x = shift_map(ns_coords[..., 0], dx, dy)
+            red_y = shift_map(ns_coords[..., 1], dx, dy)
+            red_ok = inb & shift_map(ns_valid, dx, dy)
+            cx = jnp.where(cand_strong, xs + dx, red_x)
+            cy = jnp.where(cand_strong, ys + dy, red_y)
+            # angular-cone test (APD.cu:3437-3441): a redirected anchor must
+            # still lie within the ray's half-angle cone, else keep searching
+            # outward — this is what preserves directional anchor spread.
+            vx = (cx - xs).astype(jnp.float32)
+            vy = (cy - ys).astype(jnp.float32)
+            vn = jnp.maximum(jnp.hypot(vx, vy), 1e-6)
+            in_cone = (vx * ux + vy * uy) / vn > cone_cos
+            # direct strong hits lie on the ray by construction; the cone
+            # test gates only nearest-strong redirects
+            ok = (cand_strong | (red_ok & in_cone)) & (~blocked | bypass)
+            take = ok & ~found
+            ax = jnp.where(take, cx, ax)
+            ay = jnp.where(take, cy, ay)
+            found = found | take
+        anchor_x.append(ax)
+        anchor_y.append(ay)
+        anchor_ok.append(found)
+
+    cand_x = jnp.stack(anchor_x)          # [D, H, W]
+    cand_y = jnp.stack(anchor_y)
+    cand_ok = jnp.stack(anchor_ok)
+    D = cand_x.shape[0]
+
+    # --- gather candidate 3D points + normals at anchor coords
+    flat = lambda a: a.reshape(-1)
+    idx = jnp.clip(cand_y, 0, H - 1) * W + jnp.clip(cand_x, 0, W - 1)
+    pl_flat = plane.reshape(-1, 4)
+    a_plane = pl_flat[idx]                # [D, H, W, 4]
+    fx = ref_cam.fx
+    fy = ref_cam.fy
+    cxk = ref_cam.cx
+    cyk = ref_cam.cy
+    rx_a = (cand_x.astype(jnp.float32) - cxk) / fx
+    ry_a = (cand_y.astype(jnp.float32) - cyk) / fy
+    denom = (a_plane[..., 0] * rx_a + a_plane[..., 1] * ry_a + a_plane[..., 2])
+    a_depth = -a_plane[..., 3] / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    a_pt = jnp.stack([a_depth * rx_a, a_depth * ry_a, a_depth], axis=-1)
+    a_norm = a_plane[..., :3]
+
+    count = jnp.sum(cand_ok, axis=0)
+
+    # --- RANSAC vote over random triads
+    tri = jax.random.randint(jax.random.fold_in(key, 1),
+                             (ransac_iters, 3, H, W), 0, D)
+
+    px = xs.astype(jnp.float32)
+    py = ys.astype(jnp.float32)
+    rx_p = (px - cxk) / fx
+    ry_p = (py - cyk) / fy
+    center_depth = -plane[..., 3] / jnp.where(
+        jnp.abs(plane[..., 0] * rx_p + plane[..., 1] * ry_p + plane[..., 2])
+        < 1e-12, 1e-12,
+        plane[..., 0] * rx_p + plane[..., 1] * ry_p + plane[..., 2])
+
+    def gather_anchor(field, sel):
+        """field [D, H, W(,C)], sel [H, W] -> per-pixel field[sel].
+
+        Select-by-onehot: a leading-axis take lowers to a slow scalar gather
+        on TPU, while a masked reduce over the small D axis is pure VPU work.
+        """
+        d_iota = jnp.arange(field.shape[0])
+        hit = sel[None] == (d_iota[:, None, None])
+        if field.ndim == 4:
+            hit = hit[..., None]
+        return jnp.sum(jnp.where(hit, field, 0), axis=0)
+
+    def triad_step(carry, tri_k):
+        best_score, best_plane4, best_tri = carry
+        ia, ib, ic = tri_k[0], tri_k[1], tri_k[2]
+        A = gather_anchor(a_pt, ia)
+        B = gather_anchor(a_pt, ib)
+        C = gather_anchor(a_pt, ic)
+        AN = gather_anchor(a_norm, ia)
+        BN = gather_anchor(a_norm, ib)
+        CN = gather_anchor(a_norm, ic)
+        Axy = jnp.stack([gather_anchor(cand_x, ia), gather_anchor(cand_y, ia)], -1)
+        Bxy = jnp.stack([gather_anchor(cand_x, ib), gather_anchor(cand_y, ib)], -1)
+        Cxy = jnp.stack([gather_anchor(cand_x, ic), gather_anchor(cand_y, ic)], -1)
+        ok = (gather_anchor(cand_ok, ia) & gather_anchor(cand_ok, ib)
+              & gather_anchor(cand_ok, ic))
+        ok &= (ia != ib) & (ib != ic) & (ia != ic)
+        # normals mutually aligned (APD.cu:3604-3608)
+        ok &= ((jnp.sum(AN * BN, -1) >= 0.9) & (jnp.sum(AN * CN, -1) >= 0.9)
+               & (jnp.sum(BN * CN, -1) >= 0.9))
+        # the pixel must lie inside the triangle
+        ok &= _point_in_triangle(Axy, Bxy, Cxy, px, py)
+
+        n = jnp.cross(A - C, B - C)
+        nn = jnp.linalg.norm(n, axis=-1)
+        ok &= nn > 1e-12
+        n = n / jnp.maximum(nn[..., None], 1e-12)
+        w = -jnp.sum(n * A, axis=-1)
+
+        # inliers among all D candidates
+        fit_depth = -w[None] / jnp.where(
+            jnp.abs(n[None, ..., 0] * rx_a + n[None, ..., 1] * ry_a
+                    + n[None, ..., 2]) < 1e-12, 1e-12,
+            n[None, ..., 0] * rx_a + n[None, ..., 1] * ry_a + n[None, ..., 2])
+        dist = jnp.abs(fit_depth - a_pt[..., 2])
+        inlier = cand_ok & (dist / depth_range < ransac_threshold)
+        n_in = jnp.sum(inlier, axis=0)
+        ok &= n_in >= 6
+
+        cd = -w / jnp.where(
+            jnp.abs(n[..., 0] * rx_p + n[..., 1] * ry_p + n[..., 2]) < 1e-12,
+            1e-12, n[..., 0] * rx_p + n[..., 1] * ry_p + n[..., 2])
+        center_dist = jnp.abs(cd - center_depth)
+        score = jnp.where(ok, n_in.astype(jnp.float32) * 1e6
+                          - jnp.minimum(center_dist, 1e5), -jnp.inf)
+        better = score > best_score
+        plane4 = jnp.concatenate([n, w[..., None]], axis=-1)
+        best_plane4 = jnp.where(better[..., None], plane4, best_plane4)
+        best_tri = jnp.where(better[..., None], jnp.stack([ia, ib, ic], -1),
+                             best_tri)
+        best_score = jnp.maximum(best_score, score)
+        return (best_score, best_plane4, best_tri), None
+
+    init = (jnp.full((H, W), -jnp.inf),
+            jnp.zeros((H, W, 4)),
+            jnp.zeros((H, W, 3), jnp.int32))
+    (score, fit4, best_tri), _ = jax.lax.scan(triad_step, init, tri)
+    has_plane = jnp.isfinite(score)
+
+    # --- rank anchors by distance to the fitted plane, keep NUM_ANCHORS
+    fit_depth_a = -fit4[None, ..., 3] / jnp.where(
+        jnp.abs(fit4[None, ..., 0] * rx_a + fit4[None, ..., 1] * ry_a
+                + fit4[None, ..., 2]) < 1e-12, 1e-12,
+        fit4[None, ..., 0] * rx_a + fit4[None, ..., 1] * ry_a
+        + fit4[None, ..., 2])
+    a_dist = jnp.abs(fit_depth_a - a_pt[..., 2])
+    a_inlier = cand_ok & (a_dist / depth_range < ransac_threshold)
+    rank_key = jnp.where(a_inlier, a_dist, jnp.inf)
+    order = jnp.argsort(rank_key, axis=0)[:NUM_ANCHORS]      # [A, H, W]
+    sel_x = jnp.take_along_axis(cand_x, order, axis=0)
+    sel_y = jnp.take_along_axis(cand_y, order, axis=0)
+    sel_ok = jnp.take_along_axis(a_inlier, order, axis=0)
+    sel_x = jnp.where(sel_ok, sel_x, -1)
+    sel_y = jnp.where(sel_ok, sel_y, -1)
+
+    weak_mask = weak == PixelState.WEAK
+    reliable = weak_mask & has_plane & (count > 3)
+    coords = jnp.stack([sel_x, sel_y], axis=-1)
+    return AnchorResult(coords=coords, valid=sel_ok & reliable[None],
+                        reliable=reliable)
+
+
+def _point_in_triangle(A, B, C, px, py):
+    """Barycentric sign test; A/B/C [..., 2] int or float."""
+    ax = A[..., 0].astype(jnp.float32)
+    ay = A[..., 1].astype(jnp.float32)
+    bx = B[..., 0].astype(jnp.float32)
+    by = B[..., 1].astype(jnp.float32)
+    cx = C[..., 0].astype(jnp.float32)
+    cy = C[..., 1].astype(jnp.float32)
+    d1 = (px - bx) * (ay - by) - (ax - bx) * (py - by)
+    d2 = (px - cx) * (by - cy) - (bx - cx) * (py - cy)
+    d3 = (px - ax) * (cy - ay) - (cx - ax) * (py - ay)
+    neg = (d1 < 0) | (d2 < 0) | (d3 < 0)
+    pos = (d1 > 0) | (d2 > 0) | (d3 > 0)
+    return ~(neg & pos)
+
+
+# ---------------------------------------------------------------------------
+# per-iteration fit plane + adaptive radius (RANSACToGetFitPlane)
+# ---------------------------------------------------------------------------
+
+def ransac_fit_plane(
+    anchors: AnchorResult,
+    plane: jnp.ndarray,                 # [H, W, 4] CURRENT hypotheses
+    weak: jnp.ndarray,
+    ref_cam: Camera,
+    key: jax.Array,
+    iters: int = 50,
+    use_radius: bool = False,
+    strong_radius: int = 5,
+    edge_dist: Optional[jnp.ndarray] = None,      # [8, H, W]
+    label_dist: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Fit a plane through anchor triads minimizing summed depth residuals.
+
+    Returns (fit_plane [H, W, 4]; zeros when no plane) and the adaptive
+    radius map (or None).  Follows APD.cu:4195-4404 with bug B2 fixed (the
+    radius triangle uses the actual winning triad).
+    """
+    H, W = weak.shape
+    A = anchors.coords.shape[0]
+    ax_c = anchors.coords[..., 0]
+    ay_c = anchors.coords[..., 1]
+    a_ok = anchors.valid
+
+    fx, fy = ref_cam.fx, ref_cam.fy
+    cxk, cyk = ref_cam.cx, ref_cam.cy
+    idx = jnp.clip(ay_c, 0, H - 1) * W + jnp.clip(ax_c, 0, W - 1)
+    a_plane = plane.reshape(-1, 4)[idx]
+    rx_a = (ax_c.astype(jnp.float32) - cxk) / fx
+    ry_a = (ay_c.astype(jnp.float32) - cyk) / fy
+    den = a_plane[..., 0] * rx_a + a_plane[..., 1] * ry_a + a_plane[..., 2]
+    a_depth = -a_plane[..., 3] / jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    a_pt = jnp.stack([a_depth * rx_a, a_depth * ry_a, a_depth], axis=-1)
+    a_norm = a_plane[..., :3]
+
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(jnp.float32)
+
+    tri = jax.random.randint(key, (iters, 3, H, W), 0, A)
+
+    def gat(field, sel):
+        d_iota = jnp.arange(field.shape[0])
+        hit = sel[None] == (d_iota[:, None, None])
+        if field.ndim == 4:
+            hit = hit[..., None]
+        return jnp.sum(jnp.where(hit, field, 0), axis=0)
+
+    def step(carry, tri_k):
+        best_cost, best4, best_tri = carry
+        ia, ib, ic = tri_k[0], tri_k[1], tri_k[2]
+        ok = (ia != ib) & (ib != ic) & (ia != ic)
+        ok &= gat(a_ok, ia) & gat(a_ok, ib) & gat(a_ok, ic)
+        Apt = gat(a_pt, ia)
+        Bpt = gat(a_pt, ib)
+        Cpt = gat(a_pt, ic)
+        AN = gat(a_norm, ia)
+        BN = gat(a_norm, ib)
+        CN = gat(a_norm, ic)
+        ok &= ((jnp.sum(AN * BN, -1) >= 0.9) & (jnp.sum(AN * CN, -1) >= 0.9)
+               & (jnp.sum(BN * CN, -1) >= 0.9))
+        Axy = jnp.stack([gat(ax_c, ia), gat(ay_c, ia)], -1)
+        Bxy = jnp.stack([gat(ax_c, ib), gat(ay_c, ib)], -1)
+        Cxy = jnp.stack([gat(ax_c, ic), gat(ay_c, ic)], -1)
+        ok &= _point_in_triangle(Axy, Bxy, Cxy, xs, ys)
+
+        n = jnp.cross(Apt - Cpt, Bpt - Cpt)
+        nn = jnp.linalg.norm(n, axis=-1)
+        ok &= nn > 1e-12
+        n = n / jnp.maximum(nn[..., None], 1e-12)
+        w = -jnp.sum(n * Apt, axis=-1)
+
+        fit_depth = -w[None] / jnp.where(
+            jnp.abs(n[None, ..., 0] * rx_a + n[None, ..., 1] * ry_a
+                    + n[None, ..., 2]) < 1e-12, 1e-12,
+            n[None, ..., 0] * rx_a + n[None, ..., 1] * ry_a + n[None, ..., 2])
+        resid = jnp.where(a_ok, jnp.abs(fit_depth - a_pt[..., 2]), 0.0)
+        cost = jnp.where(ok, jnp.sum(resid, axis=0), jnp.inf)
+
+        better = cost < best_cost
+        plane4 = jnp.concatenate([n, w[..., None]], axis=-1)
+        best4 = jnp.where(better[..., None], plane4, best4)
+        best_tri = jnp.where(better[..., None], jnp.stack([ia, ib, ic], -1),
+                             best_tri)
+        return (jnp.minimum(best_cost, cost), best4, best_tri), None
+
+    init = (jnp.full((H, W), jnp.inf), jnp.zeros((H, W, 4)),
+            jnp.zeros((H, W, 3), jnp.int32))
+    (cost, fit4, btri), _ = jax.lax.scan(step, init, tri)
+    has = jnp.isfinite(cost) & (weak == PixelState.WEAK) \
+        & (jnp.sum(a_ok, axis=0) >= 3)
+
+    # orient toward the camera (APD.cu:4340-4347)
+    ray = jnp.stack([ (xs - cxk) / fx, (ys - cyk) / fy, jnp.ones_like(xs)], -1)
+    flip = jnp.sum(fit4[..., :3] * ray, axis=-1) > 0
+    fit4 = jnp.where(flip[..., None],
+                     -fit4, fit4)
+    fit4 = jnp.where(has[..., None], fit4, 0.0)
+
+    radius_map = None
+    if use_radius:
+        def tri_xy(i):
+            sel = btri[..., i]
+            return (gat(ax_c.astype(jnp.float32), sel),
+                    gat(ay_c.astype(jnp.float32), sel))
+        Axx, Ayy = tri_xy(0)
+        Bxx, Byy = tri_xy(1)
+        Cxx, Cyy = tri_xy(2)
+        la = jnp.hypot(Axx - Bxx, Ayy - Byy)
+        lb = jnp.hypot(Bxx - Cxx, Byy - Cyy)
+        lc = jnp.hypot(Cxx - Axx, Cyy - Ayy)
+        p = (la + lb + lc) / 2.0
+        S = jnp.sqrt(jnp.maximum(p * (p - la) * (p - lb) * (p - lc), 0.0))
+        radius = jnp.floor(jnp.sqrt(S) / 2.0)
+        dmin = jnp.minimum(jnp.minimum(jnp.hypot(Axx - xs, Ayy - ys),
+                                       jnp.hypot(Bxx - xs, Byy - ys)),
+                           jnp.hypot(Cxx - xs, Cyy - ys))
+        radius = jnp.where(2.5 * dmin < radius, jnp.floor(dmin), radius)
+        if edge_dist is not None:
+            radius = jnp.minimum(radius, jnp.min(edge_dist, axis=0))
+        if label_dist is not None:
+            radius = jnp.minimum(radius, jnp.min(label_dist, axis=0))
+        # quantize down to (2r) % 5 == 0 (APD.cu:4394)
+        radius = jnp.floor(radius / 2.5) * 2.5
+        radius = jnp.where(radius < strong_radius, 0.0, radius)
+        radius = jnp.where(has, radius, float(strong_radius))
+        radius_map = radius
+
+    return fit4, radius_map
