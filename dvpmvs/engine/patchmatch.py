@@ -4,10 +4,13 @@ Re-creates the kernel sequence of ``APD::RunPatchMatch`` (APD.cu:4406-4532)
 as one functional, jit-compiled program over a ``PMState`` pytree:
 
     init (plane encode / random init + initial cost & view selection)
+    [use_APD] detail demotion, complexity, anchor generation + reliability
     for iter in range(max_iterations):
         for color in (black, red):
             strong propagation -> MHJVS -> adoption -> 6-plane refinement
-            [weak pass: anchors + fit plane, when use_APD]       (engine v2)
+        [use_APD] RANSAC fit planes, then per color:
+            weak propagation over the 8 anchor planes (deformable cost,
+            geometric consistency) -> fit-plane test -> refinement
     plane -> (depth, world normal);  checkerboard median filter
     DepthToWeak reclassification;  LocalRefine polish
 
@@ -19,7 +22,12 @@ Differences from the CUDA design (deliberate, TPU-first):
     clock-seeded curand — runs are reproducible;
   * FIRST_INIT re-encodes prior planes into compute form (the reference keeps
     the (world-normal, depth) encoding and feeds it to the homography —
-    SURVEY §2.5-class bug, not reproduced).
+    SURVEY §2.5-class bug, not reproduced);
+  * the deformable cost's anchor part is an anchor-center NCC over the
+    current warp field (see kernels/deformable.py);
+  * the adaptive radius map is frozen within a pass (the reference mutates
+    it mid-pass from RANSACToGetFitPlane); the updated map feeds the next
+    pass.
 """
 
 from __future__ import annotations
@@ -33,20 +41,26 @@ import jax.numpy as jnp
 from ..config import PMDynamic, PMStatic, PixelState, RunState
 from ..geometry.camera import Camera
 from ..geometry.transforms import depth_from_plane, plane_from_world
+from ..kernels.deformable import anchor_cost_term, deformable_cost
 from ..kernels.geom import GeomContext, build_geom_context, geom_consistency_cost
 from ..kernels.median import median_filter_depth
-from ..kernels.ncc import COST_MAX, CostContext, build_cost_context, ncc_cost, ncc_cost_batch
-from ..kernels.propagation import mhjvs, select_candidates, weighted_cost
+from ..kernels.ncc import (COST_MAX, CostContext, build_cost_context,
+                           ncc_cost, ncc_cost_batch)
+from ..kernels.propagation import (mhjvs, neighbor_prior, select_candidates,
+                                   weighted_cost)
 from ..kernels.refine import refinement_planes
 from ..kernels.sampling import (plane_from_normal_depth, random_depth,
                                 visibility_prior_normal)
 from ..kernels.sweep import depth_to_weak, local_refine
+from ..kernels.weak import (AnchorResult, demote_detail, edge_complexity,
+                            edge_ray_distance, find_anchors,
+                            label_boundary_distance, ransac_fit_plane)
 from .state import PMState, PassOutput
 
 
 def _grids(H, W):
-    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
-                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     return xs, ys
 
 
@@ -83,17 +97,14 @@ def _initial_cost_refine(ctx: CostContext, plane, sel_views):
     return jnp.where(cnt > 0, cost, COST_MAX), ok
 
 
-def _propagate_color(
-    state: PMState,
-    color: int,
-    it,
-    key: jax.Array,
-    ctx: CostContext,
-    ref_cam: Camera,
-    src_cams: Camera,
-    static: PMStatic,
-    dyn: PMDynamic,
-    xs, ys, rx, ry, ray, parity,
+def _geom_vec(gctx, plane, xs, ys, ref_cam):
+    depth = depth_from_plane(plane, xs, ys, ref_cam)
+    return geom_consistency_cost(gctx, depth)
+
+
+def _propagate_color_strong(
+    state: PMState, color: int, it, key, ctx, ref_cam, src_cams,
+    static: PMStatic, dyn: PMDynamic, xs, ys, rx, ry, ray, parity,
 ):
     """One strong half-iteration (one checkerboard color)."""
     k_view, k_refine = jax.random.split(jax.random.fold_in(key, color))
@@ -101,8 +112,9 @@ def _propagate_color(
     cand_planes, flags = select_candidates(state.plane, state.cost, ray)
     cost_array = ncc_cost_batch(ctx, cand_planes)          # [8, H, W, V]
 
+    prior = neighbor_prior(state.sel_views, flags)
     view_weights, temp_sel, weight_norm = mhjvs(
-        k_view, cost_array, flags, state.sel_views, it,
+        k_view, cost_array, flags, prior, it,
         num_samples=static.view_samples)
     final_costs = weighted_cost(cost_array, view_weights[None],
                                 weight_norm[None])          # [8, H, W]
@@ -162,6 +174,129 @@ def _propagate_color(
     )
 
 
+def _propagate_color_weak(
+    state: PMState, anchors: AnchorResult, fit_plane: jnp.ndarray,
+    color: int, it, key, ctx, ctx_yzl, gctx, ref_img, ref_cam, src_cams,
+    static: PMStatic, dyn: PMDynamic, xs, ys, rx, ry, parity,
+):
+    """One weak half-iteration (CheckerboardPropagationWeak, APD.cu:2739-3089)."""
+    H, W = ref_img.shape
+    V = ctx.num_views
+    k_view, k_refine = jax.random.split(
+        jax.random.fold_in(jax.random.fold_in(key, color), 7))
+
+    at = anchor_cost_term(ctx_yzl, state.plane, anchors, state.sel_views,
+                          ref_img, dyn.sigma_color)
+
+    # candidates = the first 8 anchors' planes (APD.cu:2768-2779)
+    a8_x = jnp.clip(anchors.coords[:8, ..., 0], 0, W - 1)
+    a8_y = jnp.clip(anchors.coords[:8, ..., 1], 0, H - 1)
+    idx8 = a8_y * W + a8_x
+    cand_planes = state.plane.reshape(-1, 4)[idx8]         # [8, H, W, 4]
+    flags = anchors.valid[:8]
+
+    cost_array = jax.lax.map(
+        lambda p: deformable_cost(ctx_yzl, p, at), cand_planes)
+
+    # anchor-based view-selection prior (APD.cu:2788-2801)
+    sel_a8 = state.sel_views.reshape(-1, V)[idx8]          # [8, H, W, V]
+    prior = jnp.sum(jnp.where(flags[..., None],
+                              jnp.where(sel_a8, 0.9, 0.1), 0.0), axis=0)
+
+    view_weights, temp_sel, weight_norm = mhjvs(
+        k_view, cost_array, flags, prior, it,
+        num_samples=static.view_samples)
+
+    def add_geom(cv, plane_k, flag_k):
+        if gctx is None:
+            return cv
+        g = _geom_vec(gctx, plane_k, xs, ys, ref_cam)
+        g = jnp.where(flag_k[..., None], g, 3.0)
+        return cv + dyn.geom_factor * g
+
+    if gctx is not None:
+        cost_array = jnp.stack([
+            add_geom(cost_array[k], cand_planes[k], flags[k])
+            for k in range(8)])
+    final_costs = weighted_cost(cost_array, view_weights[None],
+                                weight_norm[None])
+
+    cur_vec = deformable_cost(ctx_yzl, state.plane, at)
+    if gctx is not None:
+        cur_vec = cur_vec + dyn.geom_factor * _geom_vec(
+            gctx, state.plane, xs, ys, ref_cam)
+    cost0 = weighted_cost(cur_vec, view_weights, weight_norm)
+
+    min_idx = jnp.argmin(final_costs, axis=0)
+    best_cost = jnp.take_along_axis(final_costs, min_idx[None], axis=0)[0]
+    best_plane = jnp.take_along_axis(
+        cand_planes, min_idx[None, ..., None], axis=0)[0]
+    best_flag = jnp.take_along_axis(flags, min_idx[None], axis=0)[0]
+    depth_before = depth_from_plane(best_plane, xs, ys, ref_cam)
+    adopt = (best_flag & (depth_before >= dyn.depth_min)
+             & (depth_before <= dyn.depth_max) & (best_cost < cost0))
+    plane_now = jnp.where(adopt[..., None], best_plane, state.plane)
+    cost_now = jnp.where(adopt, best_cost, cost0)
+    sel_now = jnp.where(adopt[..., None], temp_sel, state.sel_views)
+
+    # fit-plane test (PlaneHypothesisRefinementWeak, APD.cu:1920-1950)
+    has_fit = jnp.any(fit_plane[..., :3] != 0, axis=-1)
+    fit_vec = deformable_cost(ctx_yzl, fit_plane, at)
+    if gctx is not None:
+        fit_vec = fit_vec + dyn.geom_factor * _geom_vec(
+            gctx, fit_plane, xs, ys, ref_cam)
+    fit_cost = weighted_cost(fit_vec, view_weights, weight_norm)
+    fit_depth = depth_from_plane(fit_plane, xs, ys, ref_cam)
+    take_fit = (has_fit & (fit_depth >= dyn.depth_min)
+                & (fit_depth <= dyn.depth_max) & (fit_cost < cost_now))
+    plane_now = jnp.where(take_fit[..., None], fit_plane, plane_now)
+    cost_now = jnp.where(take_fit, fit_cost, cost_now)
+
+    # 6-plane random refinement with the deformable cost
+    cur_depth = depth_from_plane(plane_now, xs, ys, ref_cam)
+    ref_planes = refinement_planes(
+        k_refine, plane_now[..., :3], cur_depth, sel_now, rx, ry, xs, ys,
+        ref_cam, src_cams, dyn.depth_min, dyn.depth_max)
+    ref_vec = jax.lax.map(
+        lambda p: deformable_cost(ctx_yzl, p, at), ref_planes)
+    if gctx is not None:
+        ref_vec = jnp.stack([
+            ref_vec[k] + dyn.geom_factor * _geom_vec(
+                gctx, ref_planes[k], xs, ys, ref_cam)
+            for k in range(6)])
+    ref_costs = weighted_cost(ref_vec, view_weights[None], weight_norm[None])
+    ref_depths = jax.vmap(lambda p: depth_from_plane(p, xs, ys, ref_cam))(
+        ref_planes)
+    ref_ok = (ref_depths >= dyn.depth_min) & (ref_depths <= dyn.depth_max)
+    ref_costs = jnp.where(ref_ok, ref_costs, jnp.inf)
+    rmin = jnp.argmin(ref_costs, axis=0)
+    rcost = jnp.take_along_axis(ref_costs, rmin[None], axis=0)[0]
+    rplane = jnp.take_along_axis(ref_planes, rmin[None, ..., None], axis=0)[0]
+    take_ref = rcost < cost_now
+    plane_now = jnp.where(take_ref[..., None], rplane, plane_now)
+    cost_now = jnp.where(take_ref, rcost, cost_now)
+
+    if static.state == RunState.REFINE_INIT:
+        improved = cost_now < cost0 - 0.1
+        plane_new = jnp.where(improved[..., None], plane_now, state.plane)
+    else:
+        plane_new = plane_now
+
+    # re-cost with the strong full-window NCC for comparability
+    # (APD.cu:3072-3088)
+    final_vec = ncc_cost(ctx, plane_new)
+    cost_final = weighted_cost(final_vec, view_weights, weight_norm)
+
+    mask = (parity == color) & (state.weak == PixelState.WEAK)
+    m1 = mask[..., None]
+    return state.replace(
+        plane=jnp.where(m1, plane_new, state.plane),
+        cost=jnp.where(mask, cost_final, state.cost),
+        sel_views=jnp.where(m1, sel_now, state.sel_views),
+        view_weights=jnp.where(m1, view_weights, state.view_weights),
+    )
+
+
 def run_pass(
     ref_img: jnp.ndarray,             # [H, W] grayscale 0..255
     src_imgs: jnp.ndarray,            # [V, H, W]
@@ -175,6 +310,8 @@ def run_pass(
     init_weak: Optional[jnp.ndarray] = None,          # [H, W] int8
     src_depths: Optional[jnp.ndarray] = None,         # [V, H, W] for geom
     radius_map: Optional[jnp.ndarray] = None,
+    edge: Optional[jnp.ndarray] = None,               # [H, W] edge mask
+    label: Optional[jnp.ndarray] = None,              # [H, W] int labels
 ) -> PassOutput:
     """Run one full PatchMatch pass for a reference view."""
     H, W = ref_img.shape
@@ -194,7 +331,7 @@ def run_pass(
     if static.geom_consistency and src_depths is not None:
         gctx = build_geom_context(src_depths, ref_cam, src_cams)
 
-    # ---- initialization (RandomInitialization, APD.cu:1273-1309) ----
+    # ---- pixel states + weak-machinery precomputation ----
     if init_weak is None:
         weak = jnp.full((H, W), PixelState.STRONG, jnp.int8)
     else:
@@ -205,7 +342,32 @@ def run_pass(
         sel_views = init_sel_views
     radius = radius_map if radius_map is not None else jnp.zeros((H, W), jnp.float32)
 
-    k_init, k_loop = jax.random.split(key)
+    k_init, k_weak, k_loop = jax.random.split(key, 3)
+
+    use_apd = static.use_APD
+    ctx_yzl = None
+    anchors = None
+    complexity = None
+    edge_dist = None
+    label_dist = None
+    if use_apd:
+        ctx_yzl = build_cost_context(
+            ref_img, src_imgs, ref_cam, src_cams,
+            sigma_spatial=dyn.sigma_spatial, sigma_color=dyn.sigma_color,
+            strong_radius=static.strong_radius, backend=static.cost_backend,
+            color_only_weights=True)
+        if static.use_edge and edge is not None:
+            complexity = edge_complexity(edge, static.strong_radius)
+            edge_dist = edge_ray_distance(edge.astype(bool))
+        if static.use_label and label is not None:
+            label_dist = label_boundary_distance(label)
+        if static.state == RunState.REFINE_INIT and static.use_detail:
+            weak = demote_detail(
+                weak,
+                edge if static.use_edge and edge is not None else None,
+                label if static.use_label and label is not None else None)
+
+    # ---- initialization (RandomInitialization, APD.cu:1273-1309) ----
     if static.state == RunState.FIRST_INIT:
         k_d, k_n = jax.random.split(k_init)
         rand_d = random_depth(k_d, (H, W), dyn.depth_min, dyn.depth_max)
@@ -225,6 +387,19 @@ def run_pass(
         plane = plane_from_world(init_plane_world, xs, ys, ref_cam)
         cost, sel_views = _initial_cost_refine(ctx, plane, sel_views)
 
+    # anchor generation (GenNeighbours + NeigbourUpdate)
+    if use_apd:
+        anchors = find_anchors(
+            weak, plane, ref_cam, k_weak,
+            rotate_time=static.rotate_time,
+            edge=edge if static.use_edge else None,
+            complexity=complexity,
+            ransac_threshold=dyn.ransac_threshold,
+            depth_range=dyn.depth_max - dyn.depth_min,
+            use_limit=static.use_limit)
+        weak = jnp.where((weak == PixelState.WEAK) & ~anchors.reliable,
+                         PixelState.UNKNOWN, weak).astype(jnp.int8)
+
     state = PMState(plane=plane, cost=cost, sel_views=sel_views,
                     view_weights=jnp.zeros((H, W, V), jnp.float32),
                     weak=weak, radius=radius)
@@ -233,8 +408,23 @@ def run_pass(
     def iteration(it, st):
         k_it = jax.random.fold_in(k_loop, it)
         for color in (0, 1):
-            st = _propagate_color(st, color, it, k_it, ctx, ref_cam, src_cams,
-                                  static, dyn, xs, ys, rx, ry, ray, parity)
+            st = _propagate_color_strong(
+                st, color, it, k_it, ctx, ref_cam, src_cams, static, dyn,
+                xs, ys, rx, ry, ray, parity)
+        if use_apd:
+            fit_plane, new_radius = ransac_fit_plane(
+                anchors, st.plane, st.weak, ref_cam,
+                jax.random.fold_in(k_it, 3), use_radius=static.use_radius,
+                strong_radius=static.strong_radius,
+                edge_dist=edge_dist, label_dist=label_dist)
+            if static.use_radius and new_radius is not None:
+                st = st.replace(radius=jnp.where(
+                    st.weak == PixelState.WEAK, new_radius, st.radius))
+            for color in (0, 1):
+                st = _propagate_color_weak(
+                    st, anchors, fit_plane, color, it, k_it, ctx, ctx_yzl,
+                    gctx, ref_img, ref_cam, src_cams, static, dyn,
+                    xs, ys, rx, ry, parity)
         return st
 
     state = jax.lax.fori_loop(0, static.max_iterations, iteration, state)

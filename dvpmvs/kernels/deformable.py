@@ -1,0 +1,108 @@
+"""Deformable (weak-pixel) matching cost.
+
+Oracle: ``ComputeBilateralNCCNew`` (APD.cu:835-1021): for a WEAK pixel,
+cost = 0.25 * center-window NCC + 0.75 * mean over anchors of a 9-tap sparse
+patch NCC at each (distant) strong anchor, gated per view by the anchor's
+visibility; color-only bilateral weights throughout.
+
+TPU adaptation (documented deviation): the per-anchor sparse patches require
+A x 9 x V arbitrary gathers per (pixel, candidate) — far beyond the TPU
+gather budget.  Here the anchor part is ONE weighted NCC over the anchor
+*center* samples, taken from the current plane field's warp
+(W(q) = src(H_{plane(q)}(q))).  This is well-conditioned precisely because
+the anchors were RANSAC-selected to be coplanar: their own planes agree with
+the candidate planes the weak pass evaluates.  The anchor term is computed
+once per half-iteration (it does not depend on the candidate); candidate
+discrimination comes from the exact center-window term, as 0.25/0.75 blend.
+The per-view visibility gating and out-of-view cost_max semantics follow the
+reference.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .ncc import COST_MAX, CostContext, ncc_cost, warp_field
+from .weak import AnchorResult
+
+_MIN_ANCHOR_SAMPLES = 4
+_K_MIN_VAR = 1e-5
+
+
+class AnchorCostTerm(NamedTuple):
+    cost: jnp.ndarray       # [H, W, V] anchor-part cost (cost_max fallback)
+    has_anchors: jnp.ndarray  # [H, W, V] any usable anchor sample
+
+
+def anchor_cost_term(
+    ctx: CostContext,
+    plane: jnp.ndarray,          # [H, W, 4] CURRENT plane field
+    anchors: AnchorResult,
+    sel_views: jnp.ndarray,      # [H, W, V] bool
+    ref_img: jnp.ndarray,
+    sigma_color,
+) -> AnchorCostTerm:
+    """Weighted NCC over anchor-center samples of the current warp field."""
+    H, W = ref_img.shape
+    V = ctx.num_views
+    A = anchors.coords.shape[0]
+    warped, in_view = warp_field(ctx, plane)      # [V, H, W]
+
+    ax = jnp.clip(anchors.coords[..., 0], 0, W - 1)
+    ay = jnp.clip(anchors.coords[..., 1], 0, H - 1)
+    idx = ay * W + ax                              # [A, H, W]
+
+    ref_a = ref_img.reshape(-1)[idx]               # [A, H, W]
+    sel_a = sel_views.reshape(-1, V)[idx]          # [A, H, W, V]
+    w_col = jnp.exp(-jnp.abs(ref_a - ref_img[None])
+                    / (2.0 * sigma_color * sigma_color))
+    valid = anchors.valid                          # [A, H, W]
+
+    src_a = jax.vmap(lambda wv: wv.reshape(-1)[idx])(warped)     # [V, A, H, W]
+    inv_a = jax.vmap(lambda iv: iv.reshape(-1)[idx])(in_view)    # [V, A, H, W]
+
+    sees = jnp.moveaxis(sel_a, -1, 0)              # [V, A, H, W]
+    usable = valid[None] & sees & inv_a            # contributes to NCC
+    oov = valid[None] & sees & ~inv_a              # contributes cost_max
+
+    w = jnp.where(usable, w_col[None], 0.0)        # [V, A, H, W]
+    sw = jnp.sum(w, axis=1)
+    n_use = jnp.sum(usable, axis=1)
+    n_oov = jnp.sum(oov, axis=1)
+
+    inv = 1.0 / jnp.maximum(sw, 1e-30)
+    m_ref = jnp.sum(w * ref_a[None], axis=1) * inv
+    m_ref2 = jnp.sum(w * ref_a[None] ** 2, axis=1) * inv
+    m_src = jnp.sum(w * src_a, axis=1) * inv
+    m_src2 = jnp.sum(w * src_a ** 2, axis=1) * inv
+    m_rs = jnp.sum(w * ref_a[None] * src_a, axis=1) * inv
+
+    var_r = m_ref2 - m_ref * m_ref
+    var_s = m_src2 - m_src * m_src
+    cov = m_rs - m_ref * m_src
+    ncc = cov / jnp.maximum(jnp.sqrt(jnp.maximum(var_r * var_s, 0.0)), 1e-30)
+    c = jnp.clip(1.0 - ncc, 0.0, COST_MAX)
+    degenerate = (var_r < _K_MIN_VAR) | (var_s < _K_MIN_VAR)
+    c = jnp.where(degenerate | (n_use < _MIN_ANCHOR_SAMPLES), COST_MAX, c)
+
+    # blend in out-of-view anchors as cost_max (APD.cu:874-881)
+    tot = jnp.maximum(n_use + n_oov, 1)
+    c = (c * n_use + COST_MAX * n_oov) / tot
+    has = (n_use + n_oov) > 0
+    return AnchorCostTerm(cost=jnp.moveaxis(c, 0, -1),
+                          has_anchors=jnp.moveaxis(has, 0, -1))
+
+
+def deformable_cost(
+    ctx_yzl: CostContext,
+    plane_candidate: jnp.ndarray,    # [H, W, 4]
+    anchor_term: AnchorCostTerm,
+) -> jnp.ndarray:
+    """0.25 * center-window NCC (color-only weights) + 0.75 * anchor term."""
+    center = ncc_cost(ctx_yzl, plane_candidate)       # [H, W, V]
+    return jnp.where(anchor_term.has_anchors,
+                     0.25 * center + 0.75 * anchor_term.cost,
+                     center)

@@ -130,6 +130,7 @@ def build_cost_context(
     strong_radius: int = 5,
     src_wh: Optional[jnp.ndarray] = None,
     backend: str = "exact",
+    color_only_weights: bool = False,
 ) -> CostContext:
     """Precompute everything the candidate loop reuses.
 
@@ -171,9 +172,16 @@ def build_cost_context(
             ref_t = bilinear_sample(ref_img, xs + dx, ys + dy)
             spatial = jnp.hypot(dx, dy)
         # reference weight: exp(-dist/(2 s_sp^2) - |dI|/(2 s_c^2)), note the
-        # NON-squared distances (APD.cu:776-781) — reproduced as-is.
-        w = jnp.exp(-spatial / (2.0 * sigma_spatial * sigma_spatial)
-                    - jnp.abs(ref_t - ref_img) / (2.0 * sigma_color * sigma_color))
+        # NON-squared distances (APD.cu:776-781) — reproduced as-is.  The
+        # weak-pixel (deformable) cost drops the spatial term
+        # (ComputeBilateralWeight_YZL, APD.cu:783-788).
+        if color_only_weights:
+            w = jnp.exp(-jnp.abs(ref_t - ref_img)
+                        / (2.0 * sigma_color * sigma_color))
+        else:
+            w = jnp.exp(-spatial / (2.0 * sigma_spatial * sigma_spatial)
+                        - jnp.abs(ref_t - ref_img)
+                        / (2.0 * sigma_color * sigma_color))
         w_list.append(w)
         wref_list.append(w * ref_t)
         sum_wref2 = sum_wref2 + w * ref_t * ref_t

@@ -144,11 +144,23 @@ def judge_extend(iter_idx: jnp.ndarray, ext_round: int,
     return flags & (good >= 1) & (bad <= 2)
 
 
+def neighbor_prior(sel_views: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray:
+    """Strong-pass view-selection prior from the 4 direct neighbors'
+    selected-view sets, gated by flag[2i] (APD.cu:2468-2480)."""
+    H, W, V = sel_views.shape
+    prior = jnp.zeros((H, W, V), jnp.float32)
+    for (ox, oy), fidx in zip(PRIOR_NEIGHBOR_OFFSETS, PRIOR_FLAG_INDEX):
+        nb = shift_map(sel_views.astype(jnp.float32), ox, oy)
+        gate = flags[fidx][..., None].astype(jnp.float32)
+        prior = prior + gate * jnp.where(nb > 0, 0.9, 0.1)
+    return prior
+
+
 def mhjvs(
     key: jax.Array,
     cost_array: jnp.ndarray,    # [8, H, W, V] candidate NCC cost vectors
     flags: jnp.ndarray,         # [8, H, W]
-    sel_views: jnp.ndarray,     # [H, W, V] bool current selected views
+    prior: jnp.ndarray,         # [H, W, V] view-selection prior
     iter_idx,
     num_samples: int = 15,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -158,13 +170,6 @@ def mhjvs(
     bool, weight_norm [H, W]).
     """
     D, H, W, V = cost_array.shape
-
-    # neighbor priors from the 4 direct neighbors' selected views
-    prior = jnp.zeros((H, W, V), jnp.float32)
-    for (ox, oy), fidx in zip(PRIOR_NEIGHBOR_OFFSETS, PRIOR_FLAG_INDEX):
-        nb = shift_map(sel_views.astype(jnp.float32), ox, oy)
-        gate = flags[fidx][..., None].astype(jnp.float32)
-        prior = prior + gate * jnp.where(nb > 0, 0.9, 0.1)
 
     # masked candidate costs: invalid directions act as cost_max
     ca = jnp.where(flags[..., None], cost_array, COST_MAX)

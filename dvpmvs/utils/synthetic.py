@@ -147,9 +147,13 @@ def make_scene(
 
         amp = np.ones(X.shape[:-1])
         if weak_disc:
-            # Low-texture patch painted in world space (view-consistent).
-            d2 = np.sum((X - np.array([-0.4, 0.3, 3.4])) ** 2, axis=-1)
-            amp = np.where(d2 < 0.5 ** 2, 0.04, 1.0)
+            # Low-texture patch painted in world space (view-consistent),
+            # centered ON the first plane so it actually intersects geometry.
+            n0, d0 = planes_n[0], planes_d[0]
+            cx0, cy0 = -0.4, 0.3
+            cz0 = -(d0 + n0[0] * cx0 + n0[1] * cy0) / n0[2]
+            d2 = np.sum((X - np.array([cx0, cy0, cz0])) ** 2, axis=-1)
+            amp = np.where(d2 < 0.8 ** 2, 0.0, 1.0)
 
         images[v] = _texture(X, phases, amp)
         gt_depth[v] = depth.astype(np.float32)

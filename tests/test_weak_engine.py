@@ -1,0 +1,86 @@
+"""End-to-end weak-pixel pipeline: a textureless disc must classify WEAK and
+be recovered by the anchor/deformable machinery in the next pass."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvpmvs.config import PMDynamic, PMStatic, PixelState, RunState
+from dvpmvs.engine import run_pass
+from dvpmvs.geometry import stack_cameras
+from dvpmvs.utils.synthetic import make_scene
+
+
+@pytest.fixture(scope="module")
+def outputs():
+    scene = make_scene(num_views=4, height=64, width=80, seed=3,
+                       weak_disc=True)
+    ref_cam = scene.cameras[0]
+    src_ids = [1, 2, 3]
+    src_cams = stack_cameras([scene.cameras[i] for i in src_ids])
+    dyn = PMDynamic.create(depth_min=float(ref_cam.depth_min),
+                           depth_max=float(ref_cam.depth_max))
+    args = (jnp.asarray(scene.images[0]), jnp.asarray(scene.images[src_ids]),
+            ref_cam, src_cams)
+
+    st1 = PMStatic(state=RunState.FIRST_INIT, num_src=3, max_iterations=2)
+    out1 = run_pass(*args, st1, dyn, jax.random.PRNGKey(0))
+
+    world1 = jnp.concatenate([out1.normal_world, out1.depth[..., None]], -1)
+    st2 = PMStatic(state=RunState.REFINE_INIT, num_src=3, max_iterations=2,
+                   use_APD=True, rotate_time=2)
+    out2 = run_pass(*args, st2, dyn, jax.random.PRNGKey(1),
+                    init_plane_world=world1, init_sel_views=out1.sel_views,
+                    init_weak=out1.weak)
+    return scene, out1, out2
+
+
+def _disc_mask(scene):
+    H, W = scene.images[0].shape
+    yy, xx = np.mgrid[0:H, 0:W]
+    # project the painted world-space disc into view 0 via GT geometry:
+    # the disc is where the image is near-flat (low local variance)
+    img = scene.images[0]
+    from scipy.ndimage import uniform_filter
+    local_var = uniform_filter(img**2, 7) - uniform_filter(img, 7)**2
+    return local_var < 4.0
+
+
+def test_disc_classified_weak(outputs):
+    scene, out1, _ = outputs
+    disc = _disc_mask(scene)
+    m = 8
+    disc_in = disc[m:-m, m:-m]
+    weak1 = np.asarray(out1.weak)[m:-m, m:-m]
+    if disc_in.sum() == 0:
+        pytest.skip("no textureless region found in this view")
+    frac_weak = (weak1[disc_in] != PixelState.STRONG).mean()
+    assert frac_weak > 0.5, frac_weak
+    # textured area stays mostly strong
+    frac_strong_tex = (weak1[~disc_in] == PixelState.STRONG).mean()
+    assert frac_strong_tex > 0.6, frac_strong_tex
+
+
+def test_weak_pass_improves_disc_depth(outputs):
+    scene, out1, out2 = outputs
+    disc = _disc_mask(scene)
+    m = 8
+    gt = scene.gt_depth[0][m:-m, m:-m]
+    disc_in = disc[m:-m, m:-m]
+    if disc_in.sum() < 50:
+        pytest.skip("disc too small")
+
+    def disc_err(out):
+        d = np.asarray(out.depth)[m:-m, m:-m]
+        rel = np.abs(d - gt) / gt
+        return np.median(rel[disc_in])
+
+    e1, e2 = disc_err(out1), disc_err(out2)
+    # the weak machinery must not degrade the disc and should improve it
+    assert e2 < max(e1, 0.02) * 1.05, (e1, e2)
+
+    # overall interior accuracy remains high
+    d2 = np.asarray(out2.depth)[m:-m, m:-m]
+    rel2 = np.abs(d2 - gt) / gt
+    assert (rel2 < 0.02).mean() > 0.6
