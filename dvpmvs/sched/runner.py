@@ -1,0 +1,266 @@
+"""Per-scene scheduler: the multi-scale / multi-pass outer loop.
+
+Oracle: ``main()`` (main.cpp:421-528):
+  for round i in [0, R): scale = 2^(R-1-i)
+      photometric pass over all views   (i==0: FIRST_INIT, else REFINE_INIT)
+      3 x geometric passes over all views (REFINE_ITER, geom_consistency)
+  fusion
+
+Between passes every view persists its full state (depth/normal/weak/
+selected_views/radius — the reference's .dmb/.bin files); geometric passes
+read the OTHER views' depths from the previous pass — the cross-view
+synchronization point.  After every pass the per-source visibility masks are
+cleaned by connected components (small unselected islands flip to selected,
+main.cpp:287-363).
+
+The runner keeps state in memory (optionally checkpointing to the
+reference's binary formats for crash-resume) and calls the jitted engine
+per (problem, pass).  View-level distribution plugs in via dvpmvs.dist.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import (PMDynamic, PMStatic, PixelState, RunState, SceneConfig,
+                      num_rounds_for, round_pass_params)
+from ..engine.patchmatch import run_pass
+from ..geometry.camera import Camera, scale_camera, stack_cameras
+from ..io import write_bin_mat
+from ..io.scene import Scene, format_index
+from ..priors.edges import _resize_linear, connected_components, edge_segment
+
+
+def rescale_nearest(arr: np.ndarray, new_hw) -> np.ndarray:
+    """Nearest-neighbor state rescaling (RescaleMatToTargetSize semantics,
+    APD.cpp:1773-1795, without its swapped-factor quirk)."""
+    H, W = arr.shape[:2]
+    nh, nw = new_hw
+    if (H, W) == (nh, nw):
+        return arr
+    ys = np.clip(np.round(np.arange(nh) * H / nh).astype(int), 0, H - 1)
+    xs = np.clip(np.round(np.arange(nw) * W / nw).astype(int), 0, W - 1)
+    return arr[np.ix_(ys, xs)]
+
+
+def visibility_cleanup(sel_views: np.ndarray, scale_size: int) -> np.ndarray:
+    """Flip small unselected islands to selected (main.cpp:287-363)."""
+    H, W, V = sel_views.shape
+    thresh = 20 * (8 // max(scale_size, 1)) ** 2
+    out = sel_views.copy()
+    for v in range(V):
+        sel = out[..., v]
+        lab, cnt = connected_components((sel * 255).astype(np.uint8))
+        small = (cnt[np.maximum(lab, 0)] < thresh) & (lab > 0)
+        out[..., v] = sel | small
+    return out
+
+
+@dataclasses.dataclass
+class ViewState:
+    depth: np.ndarray
+    normal_world: np.ndarray
+    weak: np.ndarray
+    sel_views: np.ndarray       # [H, W, V] bool
+    radius: np.ndarray
+
+
+class SceneRunner:
+    def __init__(self, scene: Scene, config: Optional[SceneConfig] = None,
+                 base_static: Optional[PMStatic] = None,
+                 mono_planes: Optional[Dict[int, np.ndarray]] = None,
+                 verbose: bool = True):
+        self.scene = scene
+        self.config = config or SceneConfig()
+        self.base_static = base_static or PMStatic()
+        self.mono_planes = mono_planes or {}
+        self.state: Dict[int, ViewState] = {}
+        self.edge_cache: Dict[tuple, np.ndarray] = {}
+        self.label_cache: Dict[tuple, np.ndarray] = {}
+        self.verbose = verbose
+        self.iteration = 0
+
+        any_img = next(iter(scene.images.values()))
+        self.rounds = num_rounds_for(any_img.shape[1], any_img.shape[0],
+                                     self.config.max_base_size)
+
+    # ------------------------------------------------------------------
+    def _log(self, msg):
+        if self.verbose:
+            print(f"[dvpmvs] {msg}", flush=True)
+
+    def _scaled_view(self, image_id: int, scale_size: int):
+        img = self.scene.images[image_id]
+        H, W = img.shape
+        nh, nw = round(H / scale_size), round(W / scale_size)
+        simg = _resize_linear(img.astype(np.float32), (nh, nw))
+        cam = scale_camera(self.scene.cameras[image_id], nw / W, nh / H)
+        return simg, cam
+
+    def _edges_for(self, image_id: int, scale_size: int, need_label: bool):
+        scale = 0
+        while (1 << scale) < scale_size:
+            scale += 1
+        ek = (image_id, scale)
+        edge = label = None
+        if self.base_static.use_edge:
+            if ek not in self.edge_cache:
+                self.edge_cache[ek] = edge_segment(
+                    scale, self.scene.images[image_id], mode=0, use_canny=True)
+            edge = self.edge_cache[ek]
+        if need_label and self.base_static.use_label:
+            if ek not in self.label_cache:
+                self.label_cache[ek] = edge_segment(
+                    scale, self.scene.images[image_id], mode=1, use_canny=False)
+            label = self.label_cache[ek]
+        return edge, label
+
+    # ------------------------------------------------------------------
+    def run_view_pass(self, problem, static: PMStatic, dyn: PMDynamic,
+                      scale_size: int, key) -> None:
+        rid = problem.ref_image_id
+        ref_img, ref_cam = self._scaled_view(rid, scale_size)
+        H, W = ref_img.shape
+        src_list = []
+        for sid in problem.src_image_ids:
+            simg, _ = self._scaled_view(sid, scale_size)
+            # pad/crop source to the ref extent (APD.cpp:1071-1082)
+            canvas = np.zeros((H, W), np.float32)
+            hh = min(H, simg.shape[0])
+            ww = min(W, simg.shape[1])
+            canvas[:hh, :ww] = simg[:hh, :ww]
+            src_list.append(canvas)
+        src_imgs = np.stack(src_list)
+        src_cams = stack_cameras(
+            [self._scaled_view(sid, scale_size)[1]
+             for sid in problem.src_image_ids])
+
+        dyn = dyn.replace(
+            depth_min=jnp.asarray(float(ref_cam.depth_min) * 0.6, jnp.float32),
+            depth_max=jnp.asarray(float(ref_cam.depth_max) * 1.2, jnp.float32))
+
+        kwargs = {}
+        st = self.state.get(rid)
+        if static.state != RunState.FIRST_INIT:
+            assert st is not None, f"view {rid}: no previous state"
+            depth = rescale_nearest(st.depth, (H, W))
+            normal = rescale_nearest(st.normal_world, (H, W))
+            kwargs["init_plane_world"] = jnp.asarray(
+                np.concatenate([normal, depth[..., None]], -1))
+            kwargs["init_sel_views"] = jnp.asarray(
+                rescale_nearest(st.sel_views.astype(np.uint8), (H, W))
+                .astype(bool))
+            kwargs["init_weak"] = jnp.asarray(
+                rescale_nearest(st.weak, (H, W)))
+            if static.use_radius:
+                kwargs["radius_map"] = jnp.asarray(
+                    rescale_nearest(st.radius, (H, W)))
+        elif rid in self.mono_planes:
+            mp = self.mono_planes[rid]
+            if mp.shape[:2] != (H, W):
+                mp = np.stack([rescale_nearest(mp[..., i], (H, W))
+                               for i in range(4)], -1)
+            kwargs["init_plane_world"] = jnp.asarray(mp)
+
+        if static.geom_consistency:
+            sds = []
+            for sid in problem.src_image_ids:
+                sd = self.state.get(sid)
+                d = sd.depth if sd is not None else np.zeros_like(ref_img)
+                sds.append(rescale_nearest(d, (H, W)))
+            kwargs["src_depths"] = jnp.asarray(np.stack(sds))
+
+        if static.use_APD and (static.use_edge or static.use_label):
+            edge, label = self._edges_for(rid, scale_size,
+                                          need_label=static.use_label)
+            if edge is not None:
+                kwargs["edge"] = jnp.asarray(
+                    rescale_nearest(edge, (H, W)) > 0)
+            if label is not None:
+                kwargs["label"] = jnp.asarray(
+                    rescale_nearest(label, (H, W)).astype(np.int32))
+
+        out = run_pass(jnp.asarray(ref_img), jnp.asarray(src_imgs), ref_cam,
+                       src_cams, static, dyn, key, **kwargs)
+
+        sel = np.asarray(out.sel_views)
+        sel = visibility_cleanup(sel, scale_size)
+        self.state[rid] = ViewState(
+            depth=np.asarray(out.depth), normal_world=np.asarray(out.normal_world),
+            weak=np.asarray(out.weak), sel_views=sel,
+            radius=np.asarray(out.radius))
+
+    # ------------------------------------------------------------------
+    def run(self, checkpoint_dir: Optional[Path] = None) -> None:
+        base = self.base_static
+        key = jax.random.PRNGKey(self.config.seed)
+        R = self.rounds
+        for i in range(R):
+            scale_size = 2 ** (R - 1 - i)
+            for pass_idx in range(1 + self.config.geometric_passes):
+                static, dyn = round_pass_params(
+                    i, R, pass_idx, base, 0.0, 1.0)
+                t0 = time.time()
+                for problem in self.scene.problems:
+                    k = jax.random.fold_in(
+                        jax.random.fold_in(key, self.iteration),
+                        problem.ref_image_id)
+                    self.run_view_pass(problem, static, dyn, scale_size, k)
+                self._log(f"round {i} pass {pass_idx} "
+                          f"(scale 1/{scale_size}, state={static.state.name}) "
+                          f"done in {time.time() - t0:.1f}s")
+                self.iteration += 1
+                if checkpoint_dir is not None:
+                    self.checkpoint(Path(checkpoint_dir))
+
+    # ------------------------------------------------------------------
+    def checkpoint(self, out_root: Path) -> None:
+        """Persist per-view state in the reference's binary formats."""
+        for rid, st in self.state.items():
+            d = out_root / format_index(rid)
+            d.mkdir(parents=True, exist_ok=True)
+            write_bin_mat(d / "depths.dmb", st.depth.astype(np.float32))
+            write_bin_mat(d / "APD_normals.dmb",
+                          st.normal_world.astype(np.float32))
+            write_bin_mat(d / "weak.bin", st.weak.astype(np.uint8))
+            # selected_views as the reference's int32 bitmask
+            V = st.sel_views.shape[-1]
+            bits = np.zeros(st.sel_views.shape[:2], np.int32)
+            for v in range(V):
+                bits |= st.sel_views[..., v].astype(np.int32) << v
+            write_bin_mat(d / "selected_views.bin", bits)
+            write_bin_mat(d / "radius.bin", st.radius.astype(np.float32))
+
+    # ------------------------------------------------------------------
+    def fusion_inputs(self):
+        from ..fusion import FusionInputs
+
+        images = {}
+        cams = {}
+        for rid in self.state:
+            st = self.state[rid]
+            H, W = st.depth.shape
+            img = self.scene.colors.get(rid)
+            if img is None:
+                g = self.scene.images[rid]
+                img = np.repeat(np.clip(g, 0, 255).astype(np.uint8)[..., None],
+                                3, -1)
+            if img.shape[:2] != (H, W):
+                img = np.stack([rescale_nearest(img[..., c], (H, W))
+                                for c in range(3)], -1)
+            images[rid] = img
+            ih, iw = self.scene.images[rid].shape
+            cams[rid] = scale_camera(self.scene.cameras[rid], W / iw, H / ih)
+        return FusionInputs(
+            images=images, cameras=cams,
+            depths={r: s.depth for r, s in self.state.items()},
+            normals={r: s.normal_world for r, s in self.state.items()},
+            weaks={r: s.weak for r, s in self.state.items()},
+            problems=self.scene.problems)
