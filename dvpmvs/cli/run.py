@@ -59,7 +59,11 @@ def _cmd_scene(args) -> int:
                          mono_planes=mono_planes)
     out_dir = Path(args.output or (Path(args.dense_folder) / "APD"))
     out_dir.mkdir(parents=True, exist_ok=True)
-    runner.run(checkpoint_dir=out_dir if args.checkpoint else None)
+    runner.run(checkpoint_dir=out_dir if (args.checkpoint or args.resume)
+               else None,
+               resume=args.resume, profile_dir=args.profile_dir)
+    if args.metrics:
+        runner.metrics.dump(out_dir / "metrics.json")
     pts, _ = run_fusion(runner.fusion_inputs(), variant=args.fusion,
                         out_ply=str(out_dir / "APD.ply"))
     print(f"fused {len(pts)} points -> {out_dir / 'APD.ply'}")
@@ -104,7 +108,14 @@ def main(argv=None) -> int:
     ps.add_argument("--no-edge", action="store_true")
     ps.add_argument("--use-label", action="store_true")
     ps.add_argument("--mono-prior", action="store_true")
-    ps.add_argument("--checkpoint", action="store_true")
+    ps.add_argument("--checkpoint", action="store_true",
+                    help="persist per-pass state (reference .dmb/.bin files)")
+    ps.add_argument("--resume", action="store_true",
+                    help="resume a checkpointed run from its progress cursor")
+    ps.add_argument("--profile-dir", default=None,
+                    help="write a jax.profiler trace here")
+    ps.add_argument("--metrics", action="store_true",
+                    help="dump per-pass timings to <output>/metrics.json")
     ps.add_argument("--seed", type=int, default=0)
     ps.set_defaults(fn=_cmd_scene)
 

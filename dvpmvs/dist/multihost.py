@@ -1,0 +1,118 @@
+"""Multi-host scene scheduling.
+
+The reference is single-process/single-GPU (``cudaSetDevice``, main.cpp:434;
+multi-GPU = run several processes by hand).  Here a scene distributes over a
+TPU pod slice as:
+
+  * chips within a host — Phase A view sharding / Phase B tile sharding
+    (``dvpmvs.dist.sharding`` / ``dvpmvs.dist.tiles``), collectives on ICI;
+  * hosts — each process owns the problems with
+    ``index % process_count == process_index`` (views are independent within
+    a pass); between passes the per-view state syncs through the shared
+    checkpoint directory (the reference's own file-based state model,
+    main.cpp:365-376), with a cross-host barrier on DCN so geometric passes
+    see every source view's previous-pass depth.
+
+The barrier is ``multihost_utils.sync_global_devices`` — a zero-payload
+collective over the global device set; state moves through the filesystem
+(pod-slice NFS / GCS fuse), not DCN, because each host needs only its
+problems' source views and the maps are small (< 4 MB each at the 800 px
+pyramid base).
+
+Single-process (process_count==1) degenerates to SceneRunner exactly, which
+is how tests cover the partitioning logic.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax
+
+from ..config import PMStatic, SceneConfig
+from ..sched.runner import SceneRunner
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize jax.distributed (TPU pods auto-detect all three args)."""
+    if jax.process_count() > 1 or coordinator is None:
+        return  # already initialized or single-host auto mode
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def host_problems(problems, process_index: Optional[int] = None,
+                  process_count: Optional[int] = None):
+    """The subset of problems this host owns (strided for load balance —
+    pair.txt orders views by capture sequence, so neighboring problems have
+    similar cost)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return [p for i, p in enumerate(problems) if i % pc == pi]
+
+
+class MultiHostRunner(SceneRunner):
+    """SceneRunner that owns a host's problem slice and syncs state through
+    the shared checkpoint directory between passes."""
+
+    def __init__(self, scene, config: Optional[SceneConfig] = None,
+                 base_static: Optional[PMStatic] = None,
+                 checkpoint_dir: Optional[Path] = None,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None, **kw):
+        super().__init__(scene, config, base_static, **kw)
+        self._all_problems = list(scene.problems)
+        self._pi = (jax.process_index() if process_index is None
+                    else process_index)
+        self._pc = (jax.process_count() if process_count is None
+                    else process_count)
+        self.scene.problems = host_problems(self._all_problems,
+                                            self._pi, self._pc)
+        self._sync_dir = Path(checkpoint_dir) if checkpoint_dir else None
+
+    # SceneRunner.run() calls run_view_pass per owned problem, then
+    # checkpoint(); we write only owned views, barrier, pull foreign views.
+    def checkpoint(self, out_root: Path, view_ids=None) -> None:
+        if view_ids is None:
+            view_ids = sorted(p.ref_image_id for p in self.scene.problems)
+        super().checkpoint(out_root, view_ids)
+        self._sync_foreign_views(out_root)
+
+    def _sync_foreign_views(self, out_root: Path) -> None:
+        if self._pc == 1:
+            return
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("dvpmvs_pass_barrier")
+        # pull the source views owned by other hosts into self.state so the
+        # next geometric pass reads current depths (APD.cpp:1147-1166)
+        owned = {p.ref_image_id for p in self.scene.problems}
+        needed = {s for p in self.scene.problems
+                  for s in p.src_image_ids} - owned
+        self._load_views(out_root, sorted(needed))
+
+    def _load_views(self, out_root: Path, view_ids) -> None:
+        import numpy as np
+
+        from ..io import read_bin_mat
+        from ..io.scene import format_index
+        from ..sched.runner import ViewState
+
+        for rid in view_ids:
+            d = out_root / format_index(rid)
+            if not (d / "depths.dmb").exists():
+                continue
+            bits = read_bin_mat(d / "selected_views.bin").astype(np.int32)
+            V = max(1, int(bits.max()).bit_length())
+            self.state[rid] = ViewState(
+                depth=read_bin_mat(d / "depths.dmb").astype(np.float32),
+                normal_world=read_bin_mat(
+                    d / "APD_normals.dmb").astype(np.float32),
+                weak=read_bin_mat(d / "weak.bin").astype(np.int8),
+                sel_views=np.stack([(bits >> v) & 1 for v in range(V)],
+                                   axis=-1).astype(bool),
+                radius=read_bin_mat(d / "radius.bin").astype(np.float32))

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from functools import partial
 from pathlib import Path
 from typing import Dict, List, Optional
 
@@ -36,6 +37,7 @@ from ..geometry.camera import Camera, scale_camera, stack_cameras
 from ..io import write_bin_mat
 from ..io.scene import Scene, format_index
 from ..priors.edges import _resize_linear, connected_components, edge_segment
+from ..utils.profiling import Metrics, annotate, trace
 
 
 def rescale_nearest(arr: np.ndarray, new_hw) -> np.ndarray:
@@ -86,6 +88,10 @@ class SceneRunner:
         self.label_cache: Dict[tuple, np.ndarray] = {}
         self.verbose = verbose
         self.iteration = 0
+        self.metrics = Metrics()
+        # jitted run_pass per static config — one compile per (config,
+        # shape); the schedule reuses it across views and passes
+        self._pass_fns: Dict[PMStatic, object] = {}
 
         any_img = next(iter(scene.images.values()))
         self.rounds = num_rounds_for(any_img.shape[1], any_img.shape[0],
@@ -187,8 +193,12 @@ class SceneRunner:
                 kwargs["label"] = jnp.asarray(
                     rescale_nearest(label, (H, W)).astype(np.int32))
 
-        out = run_pass(jnp.asarray(ref_img), jnp.asarray(src_imgs), ref_cam,
-                       src_cams, static, dyn, key, **kwargs)
+        fn = self._pass_fns.get(static)
+        if fn is None:
+            fn = jax.jit(partial(run_pass, static=static))
+            self._pass_fns[static] = fn
+        out = fn(jnp.asarray(ref_img), jnp.asarray(src_imgs), ref_cam,
+                 src_cams, dyn=dyn, key=key, **kwargs)
 
         sel = np.asarray(out.sel_views)
         sel = visibility_cleanup(sel, scale_size)
@@ -198,32 +208,70 @@ class SceneRunner:
             radius=np.asarray(out.radius))
 
     # ------------------------------------------------------------------
-    def run(self, checkpoint_dir: Optional[Path] = None) -> None:
+    def run(self, checkpoint_dir: Optional[Path] = None,
+            resume: bool = False,
+            profile_dir: Optional[str] = None) -> None:
+        """Run the full multi-scale schedule.
+
+        With ``checkpoint_dir``, every pass persists the full per-view state
+        (the reference's implicit file-based checkpointing, main.cpp:365-376)
+        plus a ``progress.json`` cursor; ``resume=True`` reloads the state
+        and skips completed passes — the skip logic the reference lacks
+        (SURVEY §5 checkpoint/resume).
+        """
         base = self.base_static
         key = jax.random.PRNGKey(self.config.seed)
         R = self.rounds
-        for i in range(R):
-            scale_size = 2 ** (R - 1 - i)
-            for pass_idx in range(1 + self.config.geometric_passes):
-                static, dyn = round_pass_params(
-                    i, R, pass_idx, base, 0.0, 1.0)
-                t0 = time.time()
-                for problem in self.scene.problems:
-                    k = jax.random.fold_in(
-                        jax.random.fold_in(key, self.iteration),
-                        problem.ref_image_id)
-                    self.run_view_pass(problem, static, dyn, scale_size, k)
-                self._log(f"round {i} pass {pass_idx} "
-                          f"(scale 1/{scale_size}, state={static.state.name}) "
-                          f"done in {time.time() - t0:.1f}s")
-                self.iteration += 1
-                if checkpoint_dir is not None:
-                    self.checkpoint(Path(checkpoint_dir))
+        start_iter = 0
+        if resume and checkpoint_dir is not None:
+            start_iter = self.load_checkpoint(Path(checkpoint_dir))
+            if start_iter:
+                self._log(f"resuming at pass iteration {start_iter}")
+        with trace(profile_dir):
+            for i in range(R):
+                for pass_idx in range(1 + self.config.geometric_passes):
+                    if self.iteration < start_iter:
+                        self.iteration += 1
+                        continue
+                    self.run_schedule_pass(i, pass_idx, key)
+                    if checkpoint_dir is not None:
+                        self.checkpoint(Path(checkpoint_dir))
+
+    def run_schedule_pass(self, round_idx: int, pass_idx: int, key) -> None:
+        """One (round, pass) step of the schedule over this runner's
+        problems.  Exposed so distributed runners can interleave passes with
+        cross-host synchronization."""
+        R = self.rounds
+        scale_size = 2 ** (R - 1 - round_idx)
+        static, dyn = round_pass_params(
+            round_idx, R, pass_idx, self.base_static, 0.0, 1.0)
+        t0 = time.time()
+        span = f"round{round_idx}/pass{pass_idx}"
+        with self.metrics.timed(span), annotate(span):
+            for problem in self.scene.problems:
+                k = jax.random.fold_in(
+                    jax.random.fold_in(key, self.iteration),
+                    problem.ref_image_id)
+                self.run_view_pass(problem, static, dyn, scale_size, k)
+                self.metrics.count("view_passes")
+        self._log(f"round {round_idx} pass {pass_idx} "
+                  f"(scale 1/{scale_size}, state={static.state.name}) "
+                  f"done in {time.time() - t0:.1f}s")
+        self.iteration += 1
 
     # ------------------------------------------------------------------
-    def checkpoint(self, out_root: Path) -> None:
-        """Persist per-view state in the reference's binary formats."""
-        for rid, st in self.state.items():
+    def checkpoint(self, out_root: Path, view_ids=None) -> None:
+        """Persist per-view state in the reference's binary formats.
+
+        ``view_ids`` restricts the write (multi-host runners write only the
+        views they own, so a host never overwrites another's fresher state).
+        """
+        import json
+
+        out_root.mkdir(parents=True, exist_ok=True)
+        items = (self.state.items() if view_ids is None
+                 else [(r, self.state[r]) for r in view_ids if r in self.state])
+        for rid, st in items:
             d = out_root / format_index(rid)
             d.mkdir(parents=True, exist_ok=True)
             write_bin_mat(d / "depths.dmb", st.depth.astype(np.float32))
@@ -237,6 +285,49 @@ class SceneRunner:
                 bits |= st.sel_views[..., v].astype(np.int32) << v
             write_bin_mat(d / "selected_views.bin", bits)
             write_bin_mat(d / "radius.bin", st.radius.astype(np.float32))
+        written = sorted(r for r, _ in items)
+        if not written:
+            return
+        progress = out_root / ("progress.json" if view_ids is None
+                               else f"progress_{written[0]:08d}.json")
+        progress.write_text(json.dumps(
+            {"iteration": self.iteration,
+             "rounds": self.rounds,
+             "view_ids": written,
+             "num_src": {str(r): int(s.sel_views.shape[-1])
+                         for r, s in items}}))
+
+    # ------------------------------------------------------------------
+    def load_checkpoint(self, out_root: Path) -> int:
+        """Reload per-view state written by :meth:`checkpoint`.
+
+        Returns the pass-iteration cursor to resume from (0 if no
+        checkpoint exists).  Mirrors the reference's re-read of
+        depths.dmb/APD_normals.dmb/weak.bin/selected_views.bin/radius.bin
+        at pass start (APD.cpp:1428-1456, 1647-1667).
+        """
+        import json
+
+        from ..io import read_bin_mat
+
+        progress = out_root / "progress.json"
+        if not progress.exists():
+            return 0
+        meta = json.loads(progress.read_text())
+        for rid in meta["view_ids"]:
+            d = out_root / format_index(rid)
+            depth = read_bin_mat(d / "depths.dmb").astype(np.float32)
+            normal = read_bin_mat(d / "APD_normals.dmb").astype(np.float32)
+            weak = read_bin_mat(d / "weak.bin").astype(np.int8)
+            bits = read_bin_mat(d / "selected_views.bin").astype(np.int32)
+            radius = read_bin_mat(d / "radius.bin").astype(np.float32)
+            V = int(meta["num_src"][str(rid)])
+            sel = np.stack([(bits >> v) & 1 for v in range(V)],
+                           axis=-1).astype(bool)
+            self.state[rid] = ViewState(depth=depth, normal_world=normal,
+                                        weak=weak, sel_views=sel,
+                                        radius=radius)
+        return int(meta["iteration"])
 
     # ------------------------------------------------------------------
     def fusion_inputs(self):

@@ -97,3 +97,33 @@ def test_checkpoint_files(fused):
     assert w.dtype == np.uint8
     sv = read_bin_mat(tmp / "ckpt" / "00000000" / "selected_views.bin")
     assert sv.dtype == np.int32
+
+
+def test_checkpoint_resume(fused):
+    """A fresh runner resumes from the checkpoint and skips completed passes."""
+    from dvpmvs.io import load_scene
+
+    scene_s, runner, _, _, tmp = fused
+    scene = load_scene(tmp / "dense", max_src_views=2)
+    cfg = SceneConfig(geometric_passes=1, seed=0)
+    r2 = SceneRunner(scene, cfg, base_static=PMStatic(max_iterations=2),
+                     verbose=False)
+    r2.run(checkpoint_dir=tmp / "ckpt", resume=True)
+    # all passes were already done: state reloaded, nothing recomputed
+    assert r2.iteration == runner.iteration
+    for v in runner.state:
+        np.testing.assert_array_equal(r2.state[v].depth,
+                                      runner.state[v].depth)
+        np.testing.assert_array_equal(r2.state[v].weak, runner.state[v].weak)
+        np.testing.assert_array_equal(r2.state[v].sel_views,
+                                      runner.state[v].sel_views)
+
+
+def test_metrics_recorded(fused, tmp_path):
+    _, runner, *_ = fused
+    s = runner.metrics.summary()
+    assert s["counters"]["view_passes"] == 3 * runner.iteration
+    assert any(k.startswith("round0/") for k in s["timings"])
+    runner.metrics.dump(tmp_path / "metrics.json")
+    import json
+    assert json.loads((tmp_path / "metrics.json").read_text())["counters"]
