@@ -110,7 +110,11 @@ def _propagate_color_strong(
     k_view, k_refine = jax.random.split(jax.random.fold_in(key, color))
 
     cand_planes, flags = select_candidates(state.plane, state.cost, ray)
-    cost_array = ncc_cost_batch(ctx, cand_planes)          # [8, H, W, V]
+    # candidates + current plane in ONE batched evaluation (the fused
+    # Pallas backend amortizes weights/warp setup across the whole batch)
+    cost_all = ncc_cost_batch(
+        ctx, jnp.concatenate([cand_planes, state.plane[None]], axis=0))
+    cost_array = cost_all[:8]                              # [8, H, W, V]
 
     prior = neighbor_prior(state.sel_views, flags)
     view_weights, temp_sel, weight_norm = mhjvs(
@@ -119,7 +123,7 @@ def _propagate_color_strong(
     final_costs = weighted_cost(cost_array, view_weights[None],
                                 weight_norm[None])          # [8, H, W]
 
-    cur_vec = ncc_cost(ctx, state.plane)
+    cur_vec = cost_all[8]
     cost0 = weighted_cost(cur_vec, view_weights, weight_norm)
 
     # adopt best direction candidate (APD.cu:2544-2567)

@@ -109,6 +109,17 @@ class CostContext(struct.PyTreeNode):
     backend: str = struct.field(pytree_node=False, default="exact")
     strong_radius: int = struct.field(pytree_node=False, default=5)
     packed_quads: Optional[jnp.ndarray] = None   # [V, H, W] int32 (pallas)
+    # fused-kernel inputs (pallas backend, static radius)
+    ref_img: Optional[jnp.ndarray] = None        # [H, W]
+    cam_cx: Optional[jnp.ndarray] = None         # scalar
+    cam_cy: Optional[jnp.ndarray] = None
+    sigma_spatial: Optional[jnp.ndarray] = None
+    sigma_color: Optional[jnp.ndarray] = None
+    # static: context carries an adaptive per-pixel radius map (fused
+    # kernel ineligible; falls back to the moment kernel)
+    has_radius_map: bool = struct.field(pytree_node=False, default=False)
+    # static: weights drop the spatial term (ComputeBilateralWeight_YZL)
+    color_only: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_views(self) -> int:
@@ -208,6 +219,12 @@ def build_cost_context(
         src_wh=jnp.asarray(src_wh, jnp.float32),
         backend=backend, strong_radius=strong_radius,
         packed_quads=packed,
+        ref_img=ref_img,
+        cam_cx=jnp.asarray(ref_cam.cx, jnp.float32),
+        cam_cy=jnp.asarray(ref_cam.cy, jnp.float32),
+        sigma_spatial=sigma_spatial, sigma_color=sigma_color,
+        has_radius_map=radius_map is not None,
+        color_only=color_only_weights,
     )
 
 
@@ -342,11 +359,29 @@ def ncc_cost(ctx: CostContext, plane: jnp.ndarray) -> jnp.ndarray:
     if ctx.backend == "warp":
         return _ncc_cost_warp(ctx, plane)
     if ctx.backend == "pallas":
+        if _fused_eligible(ctx):
+            from .ncc_fused import fused_cost_from_ctx
+            return fused_cost_from_ctx(ctx, plane[None])[0]
         from .ncc_pallas import ncc_cost_pallas
         return ncc_cost_pallas(ctx, plane)
     return _ncc_cost_exact(ctx, plane)
 
 
+def _fused_eligible(ctx: CostContext) -> bool:
+    """Fused kernel needs a static window with integer tap offsets."""
+    return (not ctx.has_radius_map
+            and all(float(t * ctx.strong_radius).is_integer()
+                    for t in _TAP_AXIS))
+
+
 def ncc_cost_batch(ctx: CostContext, planes: jnp.ndarray) -> jnp.ndarray:
-    """planes [K, H, W, 4] -> costs [K, H, W, V] (sequential over K)."""
+    """planes [K, H, W, 4] -> costs [K, H, W, V].
+
+    With the fused Pallas backend all K planes are evaluated in ONE kernel
+    sweep (reference moments, weights and source images are read once);
+    otherwise sequential over K.
+    """
+    if ctx.backend == "pallas" and _fused_eligible(ctx):
+        from .ncc_fused import fused_cost_from_ctx
+        return fused_cost_from_ctx(ctx, planes)
     return jax.lax.map(lambda p: ncc_cost(ctx, p), planes)

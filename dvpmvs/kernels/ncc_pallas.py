@@ -75,7 +75,9 @@ def _banded_gather(quad_img, x0i, y0i, pad_mask, H, Wp):
         block = band[yb * TILE_H:(yb + 1) * TILE_H]           # [8, Wp]
         yl8 = ylocal - yb * TILE_H
         in_blk = (yl8 >= 0) & (yl8 < TILE_H)
-        k_need = (yl8 - s_iota) % TILE_H
+        # +32 biases the operand non-negative: compiled Mosaic irem is
+        # truncated (C semantics) while interpret/XLA uses floor mod
+        k_need = (yl8 - s_iota + 4 * TILE_H) % TILE_H
         for k in range(TILE_H):
             rot = pltpu.roll(block, (TILE_H - k) % TILE_H, axis=0)
             hit_k = in_blk & (k_need == k)

@@ -9,7 +9,7 @@ Oracles:
     depth if it improves the cost by > 0.1.
 
 Both keep the pixel's current normal and only re-encode the plane offset per
-candidate depth; costs batch through ``lax.map`` over the sweep axis.
+candidate depth; costs batch through chunked fused NCC evaluations over the sweep axis.
 """
 
 from __future__ import annotations
@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..config import PixelState
 from ..geometry.camera import Camera
 from .geom import GeomContext, geom_consistency_cost
-from .ncc import COST_MAX, CostContext, ncc_cost
+from .ncc import COST_MAX, CostContext, ncc_cost_batch
 from .sampling import plane_from_normal_depth
 
 
@@ -39,15 +39,37 @@ def _weighted_sweep_cost(ctx: CostContext, gctx: GeomContext | None,
                          view_weights, xs, ys, ref_cam,
                          depth_min, depth_max):
     """Cost of one candidate depth field under the pixel's normal -> [H, W]."""
-    plane = plane_from_normal_depth(normal, depth_cand, xs, ys, ref_cam)
-    cv = ncc_cost(ctx, plane)                                # [H, W, V]
-    if gctx is not None:
-        cv = cv + geom_factor * geom_consistency_cost(gctx, depth_cand)
+    return _sweep_costs(ctx, gctx, geom_factor, normal, depth_cand[None],
+                        sel_views, view_weights, xs, ys, ref_cam,
+                        depth_min, depth_max)[0]
+
+
+def _sweep_costs(ctx: CostContext, gctx: GeomContext | None,
+                 geom_factor, normal, depth_stack, sel_views,
+                 view_weights, xs, ys, ref_cam,
+                 depth_min, depth_max, chunk: int = 8):
+    """Costs of K candidate depth fields [K, H, W] -> [K, H, W].
+
+    Candidates are evaluated in batched chunks so the fused Pallas backend
+    amortizes weights/warp setup; chunking bounds the [k, H, W, V] cost
+    intermediate."""
+    K = depth_stack.shape[0]
     w = view_weights * sel_views.astype(jnp.float32)
     norm = jnp.sum(w, axis=-1)
-    cost = jnp.sum(cv * w, axis=-1) / jnp.maximum(norm, 1e-30)
-    in_range = (depth_cand >= depth_min) & (depth_cand <= depth_max)
-    return jnp.where(in_range & (norm > 0), cost, COST_MAX)
+    outs = []
+    for k0 in range(0, K, chunk):
+        d = depth_stack[k0:k0 + chunk]
+        planes = jax.vmap(
+            lambda dd: plane_from_normal_depth(normal, dd, xs, ys, ref_cam)
+        )(d)
+        cv = ncc_cost_batch(ctx, planes)                     # [k, H, W, V]
+        if gctx is not None:
+            cv = cv + geom_factor * jax.vmap(
+                lambda dd: geom_consistency_cost(gctx, dd))(d)
+        cost = jnp.sum(cv * w[None], axis=-1) / jnp.maximum(norm, 1e-30)
+        in_range = (d >= depth_min) & (d <= depth_max)
+        outs.append(jnp.where(in_range & (norm > 0), cost, COST_MAX))
+    return jnp.concatenate(outs, axis=0)
 
 
 def depth_to_weak(
@@ -71,14 +93,11 @@ def depth_to_weak(
     fx = ref_cam.fx
     disp = fx * baseline / jnp.maximum(depth, 1e-12)
 
-    def cost_at(k):
-        p_depth = fx * baseline / (disp + k)
-        return jnp.minimum(COST_MAX, _weighted_sweep_cost(
-            ctx, gctx, geom_factor, normal, p_depth, sel_views, view_weights,
-            xs, ys, ref_cam, depth_min, depth_max))
-
     ks = jnp.arange(-radius_steps, radius_steps + 1, dtype=jnp.float32)
-    p_costs = jax.lax.map(cost_at, ks)                        # [61, H, W]
+    depth_stack = fx * baseline / (disp[None] + ks[:, None, None])
+    p_costs = jnp.minimum(COST_MAX, _sweep_costs(
+        ctx, gctx, geom_factor, normal, depth_stack, sel_views, view_weights,
+        xs, ys, ref_cam, depth_min, depth_max))               # [61, H, W]
 
     # local minima ("peaks") over i in [2, 58] (APD.cu:4007-4016)
     interior = jnp.zeros_like(p_costs, dtype=bool)
@@ -138,15 +157,11 @@ def local_refine(
     fx = ref_cam.fx
     disp = fx * baseline / jnp.maximum(depth, 1e-12)
 
-    def cost_at(k):
-        p_depth = fx * baseline / (disp + k)
-        c = _weighted_sweep_cost(ctx, gctx, geom_factor, normal, p_depth,
-                                 sel_views, view_weights, xs, ys, ref_cam,
-                                 depth_min, depth_max)
-        return c, p_depth
-
     ks = jnp.arange(-radius_steps, radius_steps + 1, dtype=jnp.float32)
-    costs, depths = jax.lax.map(cost_at, ks)          # [11, H, W] each
+    depths = fx * baseline / (disp[None] + ks[:, None, None])
+    costs = _sweep_costs(ctx, gctx, geom_factor, normal, depths, sel_views,
+                         view_weights, xs, ys, ref_cam,
+                         depth_min, depth_max)        # [11, H, W]
 
     cost_now = _weighted_sweep_cost(ctx, gctx, geom_factor, normal, depth,
                                     sel_views, view_weights, xs, ys, ref_cam,
