@@ -47,7 +47,7 @@ from ..kernels.median import median_filter_depth
 from ..kernels.ncc import (COST_MAX, CostContext, build_cost_context,
                            ncc_cost, ncc_cost_batch)
 from ..kernels.propagation import (mhjvs, neighbor_prior, select_candidates,
-                                   weighted_cost)
+                                   tile_view_mask, weighted_cost)
 from ..kernels.refine import refinement_planes
 from ..kernels.sampling import (plane_from_normal_depth, random_depth,
                                 visibility_prior_normal)
@@ -55,6 +55,7 @@ from ..kernels.sweep import depth_to_weak, local_refine
 from ..kernels.weak import (AnchorResult, demote_detail, edge_complexity,
                             edge_ray_distance, find_anchors,
                             label_boundary_distance, ransac_fit_plane)
+from .packing import pack_ctx, pack_parity, unpack_parity
 from .state import PMState, PassOutput
 
 
@@ -103,28 +104,42 @@ def _geom_vec(gctx, plane, xs, ys, ref_cam):
 
 
 def _propagate_color_strong(
-    state: PMState, color: int, it, key, ctx, ref_cam, src_cams,
+    state: PMState, color: int, it, key, ctx, ctx_pk, ref_cam, src_cams,
     static: PMStatic, dyn: PMDynamic, xs, ys, rx, ry, ray, parity,
 ):
-    """One strong half-iteration (one checkerboard color)."""
-    k_view, k_refine = jax.random.split(jax.random.fold_in(key, color))
+    """One strong half-iteration (one checkerboard color).
 
-    cand_planes, flags = select_candidates(state.plane, state.cost, ray)
+    All cost evaluations, MHJVS and refinement run on the checkerboard-
+    packed half grid (the red-black scheme can only write this color's
+    pixels, APD.cu:3127-3165); candidate selection stays full-res (cheap
+    static shifts) and the result scatters back at commit.
+    """
+    k_view, k_refine = jax.random.split(jax.random.fold_in(key, color))
+    use_pk = ctx_pk is not None
+    pk = (lambda a: pack_parity(a, color)) if use_pk else (lambda a: a)
+    par = color if use_pk else None
+    ctx_c = ctx_pk if use_pk else ctx
+
+    cand_planes, flags_full = select_candidates(state.plane, state.cost, ray)
+    prior = pk(neighbor_prior(state.sel_views, flags_full))
+    cand_planes = jax.vmap(pk)(cand_planes)
+    flags = jax.vmap(pk)(flags_full)
     # candidates + current plane in ONE batched evaluation (the fused
     # Pallas backend amortizes weights/warp setup across the whole batch)
     cost_all = ncc_cost_batch(
-        ctx, jnp.concatenate([cand_planes, state.plane[None]], axis=0))
-    cost_array = cost_all[:8]                              # [8, H, W, V]
-
-    prior = neighbor_prior(state.sel_views, flags)
+        ctx_c, jnp.concatenate([cand_planes, pk(state.plane)[None]], axis=0),
+        parity=par)
+    cost_array = cost_all[:8]                              # [8, H', W', V]
     view_weights, temp_sel, weight_norm = mhjvs(
         k_view, cost_array, flags, prior, it,
         num_samples=static.view_samples)
     final_costs = weighted_cost(cost_array, view_weights[None],
-                                weight_norm[None])          # [8, H, W]
+                                weight_norm[None])          # [8, H', W']
 
     cur_vec = cost_all[8]
     cost0 = weighted_cost(cur_vec, view_weights, weight_norm)
+
+    xs_c, ys_c, rx_c, ry_c = pk(xs), pk(ys), pk(rx), pk(ry)
 
     # adopt best direction candidate (APD.cu:2544-2567)
     min_idx = jnp.argmin(final_costs, axis=0)
@@ -132,23 +147,29 @@ def _propagate_color_strong(
     best_plane = jnp.take_along_axis(
         cand_planes, min_idx[None, ..., None], axis=0)[0]
     best_flag = jnp.take_along_axis(flags, min_idx[None], axis=0)[0]
-    depth_before = depth_from_plane(best_plane, xs, ys, ref_cam)
+    depth_before = depth_from_plane(best_plane, xs_c, ys_c, ref_cam)
     adopt = (best_flag & (depth_before >= dyn.depth_min)
              & (depth_before <= dyn.depth_max) & (best_cost < cost0))
 
-    plane_now = jnp.where(adopt[..., None], best_plane, state.plane)
+    plane_cur = pk(state.plane)
+    sel_cur = pk(state.sel_views)
+    plane_now = jnp.where(adopt[..., None], best_plane, plane_cur)
     cost_now = jnp.where(adopt, best_cost, cost0)
-    sel_now = jnp.where(adopt[..., None], temp_sel, state.sel_views)
+    sel_now = jnp.where(adopt[..., None], temp_sel, sel_cur)
 
-    # 6-plane refinement (APD.cu:1311-1383)
-    cur_depth = depth_from_plane(plane_now, xs, ys, ref_cam)
+    # 6-plane refinement (APD.cu:1311-1383) — weighted by the MC view
+    # weights, so zero-weight views are skipped exactly via the tile mask
+    cur_depth = depth_from_plane(plane_now, xs_c, ys_c, ref_cam)
     ref_planes = refinement_planes(
-        k_refine, plane_now[..., :3], cur_depth, sel_now, rx, ry, xs, ys,
-        ref_cam, src_cams, dyn.depth_min, dyn.depth_max)
-    ref_costs_v = ncc_cost_batch(ctx, ref_planes)          # [6, H, W, V]
+        k_refine, plane_now[..., :3], cur_depth, sel_now, rx_c, ry_c,
+        xs_c, ys_c, ref_cam, src_cams, dyn.depth_min, dyn.depth_max)
+    vmask = (tile_view_mask(view_weights) if ctx.backend == "pallas"
+             else None)
+    ref_costs_v = ncc_cost_batch(ctx_c, ref_planes, parity=par,
+                                 view_mask=vmask)          # [6, H', W', V]
     ref_costs = weighted_cost(ref_costs_v, view_weights[None],
-                              weight_norm[None])            # [6, H, W]
-    ref_depths = jax.vmap(lambda p: depth_from_plane(p, xs, ys, ref_cam))(
+                              weight_norm[None])            # [6, H', W']
+    ref_depths = jax.vmap(lambda p: depth_from_plane(p, xs_c, ys_c, ref_cam))(
         ref_planes)
     ref_ok = (ref_depths >= dyn.depth_min) & (ref_depths <= dyn.depth_max)
     ref_costs = jnp.where(ref_ok, ref_costs, jnp.inf)
@@ -162,11 +183,18 @@ def _propagate_color_strong(
     # writeback gate (APD.cu:2727-2736)
     if static.state == RunState.REFINE_INIT:
         improved = cost_now < cost0 - 0.1
-        plane_new = jnp.where(improved[..., None], plane_now, state.plane)
+        plane_new = jnp.where(improved[..., None], plane_now, plane_cur)
         cost_new = jnp.where(improved, cost_now, cost0)
     else:
         plane_new = plane_now
         cost_new = cost_now
+
+    if use_pk:
+        upk = lambda p, o: unpack_parity(p, color, o)
+        plane_new = upk(plane_new, state.plane)
+        cost_new = upk(cost_new, state.cost)
+        sel_now = upk(sel_now, state.sel_views)
+        view_weights = upk(view_weights, state.view_weights)
 
     mask = (parity == color) & (state.weak != PixelState.WEAK)
     m1 = mask[..., None]
@@ -331,6 +359,9 @@ def run_pass(
         sigma_spatial=dyn.sigma_spatial, sigma_color=dyn.sigma_color,
         radius_map=radius_map if static.use_radius else None,
         strong_radius=static.strong_radius, backend=static.cost_backend)
+    # checkerboard-packed context views for the half-iteration cost batches
+    ctx_pks = ((pack_ctx(ctx, 0), pack_ctx(ctx, 1))
+               if static.cost_backend == "pallas" else (None, None))
     gctx = None
     if static.geom_consistency and src_depths is not None:
         gctx = build_geom_context(src_depths, ref_cam, src_cams)
@@ -413,8 +444,8 @@ def run_pass(
         k_it = jax.random.fold_in(k_loop, it)
         for color in (0, 1):
             st = _propagate_color_strong(
-                st, color, it, k_it, ctx, ref_cam, src_cams, static, dyn,
-                xs, ys, rx, ry, ray, parity)
+                st, color, it, k_it, ctx, ctx_pks[color], ref_cam, src_cams,
+                static, dyn, xs, ys, rx, ry, ray, parity)
         if use_apd:
             fit_plane, new_radius = ransac_fit_plane(
                 anchors, st.plane, st.weak, ref_cam,

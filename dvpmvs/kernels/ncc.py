@@ -170,10 +170,20 @@ def build_cost_context(
     wref_list = []
     sum_wref2 = jnp.zeros((H, W), jnp.float32)
     static_radius = radius_map is None
+    static_int = static_radius and all(
+        float(t * strong_radius).is_integer() for t in _TAP_AXIS)
+    if static_int:
+        # integer static offsets: one edge pad + static slices, no gathers
+        pad = int(strong_radius)
+        ref_pad = jnp.pad(ref_img, pad, mode="edge")
     for t in range(T):
         gx, gy = float(taps[t, 0]), float(taps[t, 1])
-        if static_radius:
-            # default radius: integer offsets -> exact shifted reads
+        if static_int:
+            dx, dy = int(gx * strong_radius), int(gy * strong_radius)
+            ref_t = jax.lax.dynamic_slice(ref_pad, (pad + dy, pad + dx),
+                                          (H, W))
+            spatial = jnp.asarray(np.hypot(dx, dy), jnp.float32)
+        elif static_radius:
             dx, dy = gx * strong_radius, gy * strong_radius
             ref_t = bilinear_sample(ref_img, xs + dx, ys + dy)
             spatial = jnp.asarray(np.hypot(dx, dy), jnp.float32)
@@ -351,7 +361,8 @@ def _ncc_cost_exact(ctx: CostContext, plane: jnp.ndarray) -> jnp.ndarray:
     return _ncc_from_moments(ctx, sum_wsrc, sum_wsrc2, sum_wrefsrc, in_view)
 
 
-def ncc_cost(ctx: CostContext, plane: jnp.ndarray) -> jnp.ndarray:
+def ncc_cost(ctx: CostContext, plane: jnp.ndarray,
+             view_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Bilateral-NCC cost of one plane field.
 
     plane [H, W, 4] (ref-frame n, dist w) -> cost [H, W, V] in [0, 2].
@@ -359,29 +370,30 @@ def ncc_cost(ctx: CostContext, plane: jnp.ndarray) -> jnp.ndarray:
     if ctx.backend == "warp":
         return _ncc_cost_warp(ctx, plane)
     if ctx.backend == "pallas":
-        if _fused_eligible(ctx):
-            from .ncc_fused import fused_cost_from_ctx
-            return fused_cost_from_ctx(ctx, plane[None])[0]
-        from .ncc_pallas import ncc_cost_pallas
-        return ncc_cost_pallas(ctx, plane)
+        from .ncc_fused import fused_cost_from_ctx
+        return fused_cost_from_ctx(ctx, plane[None], view_mask=view_mask)[0]
     return _ncc_cost_exact(ctx, plane)
 
 
 def _fused_eligible(ctx: CostContext) -> bool:
-    """Fused kernel needs a static window with integer tap offsets."""
-    return (not ctx.has_radius_map
-            and all(float(t * ctx.strong_radius).is_integer()
-                    for t in _TAP_AXIS))
+    """The fused v2 kernel covers every window configuration."""
+    return ctx.backend == "pallas" and ctx.packed_quads is not None
 
 
-def ncc_cost_batch(ctx: CostContext, planes: jnp.ndarray) -> jnp.ndarray:
-    """planes [K, H, W, 4] -> costs [K, H, W, V].
+def ncc_cost_batch(ctx: CostContext, planes: jnp.ndarray,
+                   view_mask: Optional[jnp.ndarray] = None,
+                   parity=None) -> jnp.ndarray:
+    """planes [K, H', W', 4] -> costs [K, H', W', V].
 
     With the fused Pallas backend all K planes are evaluated in ONE kernel
     sweep (reference moments, weights and source images are read once);
-    otherwise sequential over K.
+    otherwise sequential over K.  ``view_mask`` ([Gi, Gj] int32 per-tile
+    bitmask) skips views with zero MHJVS weight everywhere in a tile — exact
+    for weighted-cost consumers.  ``parity`` evaluates on a checkerboard-
+    packed half grid (the ctx fields must be packed to match).
     """
-    if ctx.backend == "pallas" and _fused_eligible(ctx):
+    if _fused_eligible(ctx):
         from .ncc_fused import fused_cost_from_ctx
-        return fused_cost_from_ctx(ctx, planes)
+        return fused_cost_from_ctx(ctx, planes, parity=parity,
+                                   view_mask=view_mask)
     return jax.lax.map(lambda p: ncc_cost(ctx, p), planes)

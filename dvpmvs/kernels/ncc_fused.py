@@ -1,41 +1,47 @@
-"""Fused multi-plane multi-view bilateral-NCC Pallas kernel.
+"""Fused multi-plane multi-view bilateral-NCC Pallas kernel (v2).
 
 The engine evaluates ~15 candidate planes x V views per pixel per
-half-iteration (SURVEY §3.3).  The first Pallas backend (ncc_pallas.py)
-kept XLA-side warp fields: 9 x [V, H, W] homography-term fields PER PLANE
-plus 72 re-read bilateral-weight fields per call — ~3 GB of HBM traffic per
-candidate batch, which left the pass HBM-bound (~1.3 s/plane-eval measured
-on v5e).
+half-iteration (SURVEY §3.3).  This kernel computes, for B candidate plane
+fields and a chunk of source views, the windowed bilateral-weighted NCC of
+``ComputeBilateralNCCOld`` (APD.cu:1023-1113): 6x6 tap grid at radius r with
+tap axis r*(-1,-0.6,-0.2,0.2,0.6,1) (= offsets -r..r step max(2, 2r/5), the
+reference's loop for every legal quantized radius), cost = clip(1-NCC, 0, 2),
+degenerate variance or out-of-view center -> 2.
 
-This kernel removes nearly all of that traffic by computing everything from
-first principles inside VMEM:
+Design (v2 — why it is fast on TPU):
+  * a plane is passed as the 3-float field q(p) = n(p) / w(p); the source
+    homography is rank-1 in q: H_v(p) = M_v - b_v q(p)^T, so the nine warp
+    terms per (plane, view, pixel) are affine combos of q(p) with per-view
+    scalars in SMEM — input traffic is 12 bytes/pixel/candidate.
+  * bilateral weights and reference-side moments arrive as per-tap fields
+    (computed once per pass by build_cost_context with static shifts, reused
+    by every candidate batch) — this also supports the adaptive per-pixel
+    radius map (use_radius, APD.cu:1042-1047) and the color-only
+    (ComputeBilateralWeight_YZL) weak weights that v1 could not.
+  * source pixels are gathered from VMEM-resident packed uint8 quads through
+    a **dynamic banded gather**: per tap the kernel computes the tile's warp
+    bounding box (scalar min/max reductions) and loops only over the 8x128
+    source blocks it actually covers (`lax.fori_loop` with data-dependent
+    trip counts).  Typical taps touch 1-2 row blocks x 1-2 lane blocks of
+    the 48x512 window; v1 unconditionally walked a 32x256 band (4x8x2
+    roll/gather steps), ~2.5x more vector work.
+  * optional **checkerboard packing** (`parity=0/1`): the caller passes
+    half-resolution fields holding only the active checkerboard color
+    (full-res x = 2*lane + (y+parity)%2) so propagation costs are only
+    computed for the pixels the half-iteration can update — the red-black
+    scheme updates one color at a time (APD.cu:3127-3165); evaluating the
+    other half is pure waste.  NCC taps have odd dx, dy, so every tap lands
+    on the SAME color plane and the external weight fields pack consistently.
+  * optional **per-tile view masks**: a [Gi, Gj] int32 bitmask marks which
+    views have nonzero MHJVS weight anywhere in each tile; masked-out
+    (tile, view) pairs write cost_max and skip all gathers.  Zero-weight
+    views contribute nothing to the weighted costs used by refinement and
+    the disparity sweeps (APD.cu:1369-1374, 3979-3987), so this is exact.
 
-  * a plane is passed as the 3-float field q(p) = n(p) / w(p) (normal over
-    plane distance).  The source-view homography is rank-1 in q:
-        H_v(p) = M_v - b_v q(p)^T   (in normalized ref-ray coords)
-    so per (plane, view, pixel) the nine warp terms are affine combos of
-    q(p) with PER-VIEW SCALARS (M_v, b_v in SMEM) — input traffic is
-    12 bytes/pixel per candidate, independent of V;
-  * bilateral weights are recomputed from the in-VMEM reference image
-    (static integer tap offsets) instead of streamed: the spatial factor is
-    a static per-tap constant, the color factor one exp per (tap, pixel),
-    shared across ALL planes and views in the call;
-  * all B candidate planes and a chunk of source views are evaluated in ONE
-    grid sweep, so the reference-side moments are computed once per tile.
-
-Cost semantics are identical to kernels/ncc.py:_ncc_cost_exact
-(ComputeBilateralNCCOld, APD.cu:1023-1113): windowed bilateral-weighted NCC
-over a 6x6 tap grid at static radius, cost = clip(1-NCC, 0, 2), degenerate
-variance or out-of-view center -> 2.  The only approximation (shared with
-ncc_pallas.py) is the 32-row gather band: source rows warped further than 32
-rows from the tile minimum are clamped (pathological far warps; the engine's
-range checks dominate such candidates anyway).
-
-Limitations (callers fall back to the other backends):
-  * static window radius only (the adaptive radius map feeds the XLA-side
-    weight path);
-  * tap offsets must be integers (radius a multiple of 5 with the 6-tap
-    axis), which holds for the reference defaults.
+The only approximation (shared with v1) is the gather-band clamp: source
+rows/cols warped further than 48 rows / 512 lanes beyond the tile's warp
+minimum clamp to the band edge (pathological far warps; range checks
+dominate such candidates).  The dynamic loops make the generous band free.
 """
 
 from __future__ import annotations
@@ -50,118 +56,86 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 8
 TILE_W = 128
-BAND = 32              # source rows visible to one (tile, plane, view)
-COLS_MAX = 256         # source cols visible to one (tile, plane, view)
-MARGIN_R = 12          # window slack rows below the center-warp minimum
-MARGIN_C = 24          # window slack cols left of the center-warp minimum
-PAD_L = 128            # lane padding of the reference image (aligned loads)
+DSPAN = 8              # distinct row offsets served per (tile, plane, view)
+PAD_TOP = 8            # blank rows above the source (alignment never clamps)
 COST_MAX = 2.0
 _K_MIN_VAR = 1e-5
 
 _TAP_AXIS = np.array([-1.0, -0.6, -0.2, 0.2, 0.6, 1.0], np.float32)
 
 
-def _tap_offsets(radius: int) -> np.ndarray:
-    gx, gy = np.meshgrid(_TAP_AXIS * radius, _TAP_AXIS * radius)
-    return np.stack([gx.ravel(), gy.ravel()], axis=-1)   # [36, 2]
+def tap_axis_offsets() -> np.ndarray:
+    """[36, 2] tap offsets for radius 1 (scale by the window radius)."""
+    gx, gy = np.meshgrid(_TAP_AXIS, _TAP_AXIS)
+    return np.stack([gx.ravel(), gy.ravel()], axis=-1)
 
 
-def _make_fused_kernel(B, Vc, T, Hq, Wq, H_true, W_true, radius, pad):
-    """Kernel factory.  Grid (Hq//8, Wq//128); per tile evaluates B planes x
-    Vc views x T taps.  ``pad`` = ref-image border padding (>= radius)."""
-    taps = _tap_offsets(radius)
-    taps_i = np.round(taps).astype(int)
-    assert np.allclose(taps, taps_i), "fused kernel needs integer taps"
-    spatial = np.hypot(taps[:, 0], taps[:, 1]).astype(np.float32)
-    band = min(BAND, Hq)
-    nyb = band // TILE_H
-    COLS = min(COLS_MAX, Wq)
+def _make_fused_kernel(B, Vc, T, H_true, W_true, radius,
+                       parity, per_pixel_radius, use_mask):
+    """Kernel factory.
 
-    def kernel(cam_ref, mats_ref, wh_ref, q_ref, ref_ref, quads_ref,
-               out_ref, wbuf_ref, rbuf_ref):
-        # cam_ref  (SMEM): [6] = cx, cy, inv_fx, inv_fy, inv2ss, inv2sc
+    Grid (Hq//8, Wq//128) over the (possibly checkerboard-packed) pixel
+    space.  ``H_true x W_true`` is the full-resolution image extent (bounds
+    tests and source windows are always full-res).  ``radius``: python float
+    window radius (ignored when ``per_pixel_radius``).  ``parity``: None
+    (dense) or 0/1 (checkerboard color).  ``use_mask``: per-tile view
+    bitmask input present.
+    """
+    Hsq = -(-H_true // TILE_H) * TILE_H
+    Wsq = -(-W_true // TILE_W) * TILE_W
+    packed = parity is not None
+    # static lane window: a tile spans 128 (dense) / 256 (packed) source
+    # columns for near-identity warps, plus one block of slack
+    n_xb = min(3 if packed else 2, Wsq // TILE_W)
+    cols = n_xb * TILE_W
+
+    def kernel(*refs):
+        if use_mask:
+            mask_ref = refs[0]
+            refs = refs[1:]
+        (cam_ref, mats_ref, taps_ref, q_ref, w_ref, wref_ref, sums_ref,
+         rad_ref, quads_ref, out_ref) = refs
+        # cam_ref  (SMEM): [4 + 2*Vc] = cx, cy, inv_fx, inv_fy, then
+        #                  per-view (src_w, src_h) pairs flattened
         # mats_ref (SMEM): [Vc, 12] per-view M (row-major 9) + b (3)
-        # wh_ref   (SMEM): [Vc, 2] source width/height
+        # taps_ref (SMEM): [T, 2] radius-1 tap axis offsets
         # q_ref:   [B, 3, 8, 128] candidate plane fields (n/w)
-        # ref_ref: [Hq+2p, Wq+2p] padded reference image (full VMEM)
-        # quads_ref: [Vc, Hq, Wq] packed source quads (full VMEM)
+        # w_ref / wref_ref: [T, 8, 128] bilateral weights / weight*ref
+        # sums_ref: [3, 8, 128] sum_w, sum_wref, sum_wref2
+        # rad_ref: [1, 8, 128] per-pixel radius (iff per_pixel_radius)
+        # quads_ref: [Vc, PAD_TOP + Hsq + DSPAN + 24, Wsq] packed source
+        #            quads, row-padded (full VMEM, full-res coordinates)
         # out_ref: [B, Vc, 8, 128] costs
-        # wbuf_ref/rbuf_ref: [T, 8, 128] per-tap weights / shifted ref
         pid_i = pl.program_id(0)
         pid_j = pl.program_id(1)
         inv_fx = cam_ref[2]
         inv_fy = cam_ref[3]
 
-        ys = (pid_i * TILE_H
-              + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-              ).astype(jnp.float32)
-        xs = (pid_j * TILE_W
-              + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-              ).astype(jnp.float32)
+        ys_i = (pid_i * TILE_H
+                + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0))
+        lane_i = (pid_j * TILE_W
+                  + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1))
+        if packed:
+            xs_i = 2 * lane_i + ((ys_i + parity) % 2)
+        else:
+            xs_i = lane_i
+        ys = ys_i.astype(jnp.float32)
+        xs = xs_i.astype(jnp.float32)
         rx = (xs - cam_ref[0]) * inv_fx
         ry = (ys - cam_ref[1]) * inv_fy
         s_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
         # pixels beyond the true extent carry garbage warps; keep them out
         # of the gather-band statistics (their outputs are sliced away)
-        pad_mask = (ys >= H_true) | (xs >= W_true)
+        pad_mask = (ys_i >= H_true) | (xs_i >= W_true)
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+        inv = 1.0 / jnp.maximum(sums_ref[0], 1e-30)
+        m_ref = sums_ref[1] * inv
+        var_ref = sums_ref[2] * inv - m_ref * m_ref
 
-        def ref_tile(dy, dx):
-            """[8,128] window of the padded ref at static offset (dy, dx).
+        if per_pixel_radius:
+            rad = rad_ref[0]
 
-            Mosaic only allows aligned vector loads; an unaligned window is
-            two aligned loads per axis, realigned with static rolls and a
-            lane/sublane select.
-            """
-            r = pid_i * TILE_H + pad + dy           # pad % 8 == 0
-            c = pid_j * TILE_W + PAD_L + dx         # PAD_L % 128 == 0
-            ry_ = dy % TILE_H
-            r0 = r - ry_                            # aligned row base
-            cx_ = dx % TILE_W
-            c0 = c - cx_                            # aligned col base
-
-            def rows(row_base):
-                a = ref_ref[pl.ds(row_base, TILE_H), pl.ds(c0, TILE_W)]
-                if cx_:
-                    b2 = ref_ref[pl.ds(row_base, TILE_H),
-                                 pl.ds(c0 + TILE_W, TILE_W)]
-                    a = jnp.where(lane < TILE_W - cx_,
-                                  pltpu.roll(a, TILE_W - cx_, axis=1),
-                                  pltpu.roll(b2, TILE_W - cx_, axis=1))
-                return a
-
-            top = rows(r0)
-            if ry_ == 0:
-                return top
-            bot = rows(r0 + TILE_H)
-            return jnp.where(s_iota < TILE_H - ry_,
-                             pltpu.roll(top, TILE_H - ry_, axis=0),
-                             pltpu.roll(bot, TILE_H - ry_, axis=0))
-
-        ref_c = ref_tile(0, 0)
-
-        # ---- per-tap weights + reference moments (plane/view-independent)
-        sum_w = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        sum_wref = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        sum_wref2 = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        for t in range(T):
-            rt = ref_tile(int(taps_i[t, 1]), int(taps_i[t, 0]))
-            w = jnp.exp(-float(spatial[t]) * cam_ref[4]
-                        - jnp.abs(rt - ref_c) * cam_ref[5])
-            wbuf_ref[t] = w
-            rbuf_ref[t] = rt
-            sum_w += w
-            sum_wref += w * rt
-            sum_wref2 += w * rt * rt
-        inv = 1.0 / sum_w
-        m_ref = sum_wref * inv
-        var_ref = sum_wref2 * inv - m_ref * m_ref
-
-        # ---- per (plane, view) source moments -> cost
-        def bv_body(idx, _):
-            b = idx // Vc
-            v = idx % Vc
+        def bv_cost(b, v):
             q0 = q_ref[b, 0]
             q1 = q_ref[b, 1]
             q2 = q_ref[b, 2]
@@ -183,8 +157,12 @@ def _make_fused_kernel(B, Vc, T, Hq, Wq, H_true, W_true, radius, pad):
 
             def tap_body(t, moms):
                 s1, s2, s3 = moms
-                di = wh_ref[Vc + t, 0]          # taps appended below wh rows
-                dj = wh_ref[Vc + t, 1]
+                if per_pixel_radius:
+                    di = taps_ref[t, 0] * rad
+                    dj = taps_ref[t, 1] * rad
+                else:
+                    di = taps_ref[t, 0] * radius
+                    dj = taps_ref[t, 1] * radius
                 hx = base0 + di * cxx0 + dj * cyy0
                 hy = base1 + di * cxx1 + dj * cyy1
                 hz = base2 + di * cxx2 + dj * cyy2
@@ -198,42 +176,61 @@ def _make_fused_kernel(B, Vc, T, Hq, Wq, H_true, W_true, radius, pad):
                 x0i = x0f.astype(jnp.int32)
                 y0i = y0f.astype(jnp.int32)
 
-                # per-tap banded window (rows: 32, cols: 256) anchored at
-                # the tap's own minimum — pixels warping beyond it clamp
-                # (same degradation class as the moment kernel's band);
-                # loads come from the VMEM-resident source, so the window
-                # costs vreg traffic only.  Value semantics, no branches.
-                ybase = jnp.clip(jnp.min(jnp.where(pad_mask, Hq - 1, y0i)),
-                                 0, max(Hq - band, 0))
-                ybase = pl.multiple_of((ybase // TILE_H) * TILE_H, TILE_H)
-                cbase = jnp.clip(jnp.min(jnp.where(pad_mask, Wq - 1, x0i)),
-                                 0, max(Wq - COLS, 0))
+                # Row-offset decomposition: pixel (s, l) needs source row
+                # y0(s, l) = s + delta(s, l) - PAD_TOP (quads are padded by
+                # PAD_TOP blank rows so load addresses never clamp).  For
+                # smooth warps delta is nearly constant over the tile (row
+                # slope ~1), so DSPAN shifted windows anchored at min(delta)
+                # serve all 8 sublanes — unlike a rotate-and-select sweep
+                # where each of 8 rotations fills only the sublanes it
+                # happens to align.  Fully static structure: Mosaic software-
+                # pipelines straight-line code; data-dependent loops stall.
+                delta = y0i + PAD_TOP - s_iota          # >= 1 always
+                d_lo = jnp.maximum(jnp.min(
+                    jnp.where(pad_mask, Hsq + PAD_TOP, delta)), 1)
+                x_lo = jnp.min(jnp.where(pad_mask, Wsq - 1, x0i))
+                dj_pix = jnp.clip(delta - d_lo, 0, DSPAN - 1)
+                cbase = jnp.clip(x_lo, 0, max(Wsq - cols, 0))
                 cbase = pl.multiple_of((cbase // TILE_W) * TILE_W, TILE_W)
-                ylocal = jnp.clip(y0i - ybase, 0, band - 1)
-                xlocal = jnp.clip(x0i - cbase, 0, COLS - 1)
+                xlocal = jnp.clip(x0i - cbase, 0, cols - 1)
+
+                # aligned 8-row base of the DSPAN+8 row window
+                m0 = d_lo % TILE_H
+                a0 = pl.multiple_of(d_lo - m0, TILE_H)
+                up = (TILE_H - m0) % TILE_H
+                in_lo = s_iota < TILE_H - m0
+
                 g = jnp.zeros((TILE_H, TILE_W), jnp.int32)
-                for yb in range(nyb):
-                    win = quads_ref[v, pl.ds(ybase + yb * TILE_H, TILE_H),
-                                    pl.ds(cbase, COLS)]
-                    yl8 = ylocal - yb * TILE_H
-                    in_blk = (yl8 >= 0) & (yl8 < TILE_H)
-                    # bias non-negative: compiled Mosaic irem is
-                    # truncated (C) while interpret/XLA is floor mod
-                    k_need = jnp.where(in_blk,
-                                       (yl8 - s_iota + TILE_H) % TILE_H,
-                                       -1)
-                    for k in range(TILE_H):
-                        rot = pltpu.roll(win, (TILE_H - k) % TILE_H,
-                                         axis=0)
-                        hit_k = k_need == k
-                        for xb in range(COLS // TILE_W):
-                            sub = rot[:, xb * TILE_W:(xb + 1) * TILE_W]
-                            loc = jnp.clip(xlocal - xb * TILE_W,
-                                           0, TILE_W - 1)
-                            gg = jnp.take_along_axis(sub, loc, axis=1)
-                            hit = (hit_k & (xlocal >= xb * TILE_W)
-                                   & (xlocal < (xb + 1) * TILE_W))
-                            g = jnp.where(hit, gg, g)
+                for xb in range(n_xb):
+                    col = pl.multiple_of(cbase + xb * TILE_W, TILE_W)
+                    loc = jnp.clip(xlocal - xb * TILE_W, 0, TILE_W - 1)
+                    in_col = ((xlocal >= xb * TILE_W)
+                              & (xlocal < (xb + 1) * TILE_W))
+
+                    # R[u][s] = source row d_lo + u*8 + s: aligned loads
+                    # realigned by one dynamic sublane roll + select
+                    nR = DSPAN // TILE_H + 1
+                    blks = [quads_ref[v, pl.ds(a0 + u * TILE_H, TILE_H),
+                                      pl.ds(col, TILE_W)]
+                            for u in range(nR + 1)]
+                    rots = [pltpu.roll(bk, up, axis=0) for bk in blks]
+                    Rs = [jnp.where(in_lo, rots[u], rots[u + 1])
+                          for u in range(nR)]
+
+                    for j in range(DSPAN):
+                        # win[s] = source row d_lo + j + s
+                        r0 = Rs[j // TILE_H]
+                        jm = j % TILE_H
+                        if jm == 0:
+                            win = r0
+                        else:
+                            r1 = Rs[j // TILE_H + 1]
+                            win = jnp.where(
+                                s_iota < TILE_H - jm,
+                                pltpu.roll(r0, TILE_H - jm, axis=0),
+                                pltpu.roll(r1, TILE_H - jm, axis=0))
+                        gg = jnp.take_along_axis(win, loc, axis=1)
+                        g = jnp.where((dj_pix == j) & in_col, gg, g)
 
                 i00 = (g & 0xFF).astype(jnp.float32)
                 i01 = ((g >> 8) & 0xFF).astype(jnp.float32)
@@ -241,11 +238,10 @@ def _make_fused_kernel(B, Vc, T, Hq, Wq, H_true, W_true, radius, pad):
                 i11 = ((g >> 24) & 0xFF).astype(jnp.float32)
                 src_t = ((i00 * (1 - fx) + i01 * fx) * (1 - fy)
                          + (i10 * (1 - fx) + i11 * fx) * fy)
-                w = wbuf_ref[t]
-                rt = rbuf_ref[t]
+                w = w_ref[t]
                 return (s1 + w * src_t,
                         s2 + w * src_t * src_t,
-                        s3 + (w * rt) * src_t)
+                        s3 + wref_ref[t] * src_t)
 
             zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
             s1, s2, s3 = jax.lax.fori_loop(
@@ -254,8 +250,8 @@ def _make_fused_kernel(B, Vc, T, Hq, Wq, H_true, W_true, radius, pad):
             # center in-view test (tap offset (0, 0))
             pxc = base0 / czc
             pyc = base1 / czc
-            in_view = ((pxc >= 0) & (pxc < wh_ref[v, 0])
-                       & (pyc >= 0) & (pyc < wh_ref[v, 1])
+            in_view = ((pxc >= 0) & (pxc < cam_ref[4 + 2 * v])
+                       & (pyc >= 0) & (pyc < cam_ref[5 + 2 * v])
                        & (base2 > 0))
 
             m_src = s1 * inv
@@ -265,11 +261,29 @@ def _make_fused_kernel(B, Vc, T, Hq, Wq, H_true, W_true, radius, pad):
             ncc = covar / jnp.maximum(var_prod, 1e-30)
             cost = jnp.clip(1.0 - ncc, 0.0, COST_MAX)
             bad = (var_ref < _K_MIN_VAR) | (var_src < _K_MIN_VAR) | ~in_view
-            out_ref[pl.ds(b, 1), pl.ds(v, 1)] = jnp.where(
-                bad, COST_MAX, cost)[None, None]
-            return 0
+            return jnp.where(bad, COST_MAX, cost)
 
-        jax.lax.fori_loop(0, B * Vc, bv_body, 0)
+        for v in range(Vc):
+            def write_view(v=v):
+                def b_body(b, _):
+                    out_ref[pl.ds(b, 1), pl.ds(v, 1)] = (
+                        bv_cost(b, v)[None, None])
+                    return 0
+                jax.lax.fori_loop(0, B, b_body, 0)
+
+            if use_mask:
+                bit = (mask_ref[pid_i, pid_j] >> v) & 1
+
+                @pl.when(bit == 1)
+                def _(v=v):
+                    write_view(v)
+
+                @pl.when(bit == 0)
+                def _(v=v):
+                    out_ref[:, pl.ds(v, 1)] = jnp.full(
+                        (B, 1, TILE_H, TILE_W), COST_MAX, jnp.float32)
+            else:
+                write_view(v)
 
     return kernel
 
@@ -282,78 +296,105 @@ def _pad_hw(arr, Hq, Wq):
     return jnp.pad(arr, pads)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "view_chunk",
-                                             "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "radius", "parity", "view_chunk", "interpret"))
 def fused_ncc_costs(
-    q_planes: jnp.ndarray,        # [B, H, W, 3] candidate plane n/w fields
-    ref_img: jnp.ndarray,         # [H, W] f32 0..255
+    q_planes: jnp.ndarray,        # [B, H', W', 3] candidate plane fields
+    w_taps: jnp.ndarray,          # [T, H', W'] bilateral weights
+    wref_taps: jnp.ndarray,       # [T, H', W'] weight * ref intensity
+    wsums: jnp.ndarray,           # [3, H', W'] sum_w / sum_wref / sum_wref2
     quads: jnp.ndarray,           # [V, H, W] int32 packed source quads
     M: jnp.ndarray,               # [V, 3, 3] homography matrix terms
     bvec: jnp.ndarray,            # [V, 3]
     cam_scalars: jnp.ndarray,     # [4] cx, cy, inv_fx, inv_fy
-    sigma_spatial, sigma_color,
     src_wh: jnp.ndarray,          # [V, 2] source extents
-    radius: int = 5,
+    radius: float = 5.0,          # static window radius
+    radius_map: jnp.ndarray | None = None,   # [H', W'] per-pixel radius
+    parity=None,                  # None dense; 0/1 checkerboard-packed
+    view_mask: jnp.ndarray | None = None,   # [Gi, Gj] int32 per-tile bitmask
     view_chunk: int = 4,
     interpret: bool = False,
-) -> jnp.ndarray:                 # [B, H, W, V]
-    """Evaluate B candidate plane fields against V source views."""
-    B, H, W, _ = q_planes.shape
+) -> jnp.ndarray:                 # [B, H', W', V]
+    """Evaluate B candidate plane fields against V source views.
+
+    Primed extents (H', W') are the evaluation grid — the full image when
+    ``parity is None``, or the checkerboard-packed half grid (W' = ceil(W/2))
+    for one red-black color.  ``quads`` always carries full resolution.
+    """
+    B, Hp, Wp, _ = q_planes.shape
     V = quads.shape[0]
-    T = 36
-    Hq = -(-H // TILE_H) * TILE_H
-    Wq = -(-W // TILE_W) * TILE_W
-    pad = -(-radius // TILE_H) * TILE_H       # sublane-aligned border
+    H, W = quads.shape[1], quads.shape[2]
+    T = w_taps.shape[0]
+    Hq = -(-Hp // TILE_H) * TILE_H
+    Wq = -(-Wp // TILE_W) * TILE_W
+    Hsq = -(-H // TILE_H) * TILE_H
+    Wsq = -(-W // TILE_W) * TILE_W
+
+    per_pixel_radius = radius_map is not None
 
     q = _pad_hw(jnp.moveaxis(q_planes, -1, 1), Hq, Wq)       # [B, 3, Hq, Wq]
-    quads_p = _pad_hw(quads, Hq, Wq)
-    # edge-replicate at the TRUE extent first (window reads near the true
-    # right/bottom edge must see clamped values, not tile-grid zero pad);
-    # lanes pad by PAD_L so every vector load stays 128-aligned
-    ref_p = _pad_hw(jnp.pad(ref_img, ((pad, pad), (PAD_L, PAD_L)),
-                            mode="edge"),
-                    Hq + 2 * pad, Wq + 2 * PAD_L)
-
-    inv2ss = 1.0 / (2.0 * sigma_spatial * sigma_spatial)
-    inv2sc = 1.0 / (2.0 * sigma_color * sigma_color)
-    cam = jnp.concatenate([
-        jnp.asarray(cam_scalars, jnp.float32),
-        jnp.stack([jnp.asarray(inv2ss, jnp.float32),
-                   jnp.asarray(inv2sc, jnp.float32)])])
-
-    mats = jnp.concatenate([M.reshape(V, 9), bvec.reshape(V, 3)], axis=1)
-    taps = jnp.asarray(_tap_offsets(radius), jnp.float32)    # [T, 2]
+    w_p = _pad_hw(w_taps, Hq, Wq)
+    wref_p = _pad_hw(wref_taps, Hq, Wq)
+    sums_p = _pad_hw(wsums, Hq, Wq)
+    # row padding: PAD_TOP blank rows above + DSPAN + 24 below so the
+    # kernel's aligned load chain never needs clamping
+    quads_p = jnp.pad(_pad_hw(quads, Hsq, Wsq),
+                      ((0, 0), (PAD_TOP, DSPAN + 24), (0, 0)))
+    if per_pixel_radius:
+        rad_p = _pad_hw(radius_map[None].astype(jnp.float32), Hq, Wq)
+    else:
+        rad_p = jnp.zeros((1, TILE_H, TILE_W), jnp.float32)
 
     grid = (Hq // TILE_H, Wq // TILE_W)
+    use_mask = view_mask is not None
+    taps = jnp.asarray(tap_axis_offsets())                   # [T, 2]
+
+    def tile_spec(nlead):
+        return pl.BlockSpec((nlead, TILE_H, TILE_W), lambda i, j: (0, i, j),
+                            memory_space=pltpu.VMEM)
+
     q_spec = pl.BlockSpec((B, 3, TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
                           memory_space=pltpu.VMEM)
+    rad_spec = (tile_spec(1) if per_pixel_radius
+                else pl.BlockSpec((1, TILE_H, TILE_W), lambda i, j: (0, 0, 0),
+                                  memory_space=pltpu.VMEM))
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     outs = []
     for v0 in range(0, V, view_chunk):
         Vc = min(view_chunk, V - v0)
-        kern = _make_fused_kernel(B, Vc, T, Hq, Wq, H, W, radius, pad)
-        # taps ride below the per-view rows of the wh SMEM array
-        wh_taps = jnp.concatenate(
-            [jnp.asarray(src_wh[v0:v0 + Vc], jnp.float32), taps], axis=0)
+        kern = _make_fused_kernel(
+            B, Vc, T, H, W, float(radius), parity, per_pixel_radius,
+            use_mask)
+        cam = jnp.concatenate([
+            jnp.asarray(cam_scalars, jnp.float32),
+            jnp.asarray(src_wh[v0:v0 + Vc], jnp.float32).reshape(-1)])
+        mats = jnp.concatenate(
+            [M[v0:v0 + Vc].reshape(Vc, 9), bvec[v0:v0 + Vc].reshape(Vc, 3)],
+            axis=1)
+        ins = [cam, mats, taps, q, w_p, wref_p, sums_p, rad_p,
+               quads_p[v0:v0 + Vc]]
+        in_specs = [smem, smem, smem, q_spec, tile_spec(T), tile_spec(T),
+                    tile_spec(3), rad_spec, full]
+        if use_mask:
+            vm = jax.lax.shift_right_logical(
+                view_mask.astype(jnp.int32), v0)
+            ins = [vm] + ins
+            in_specs = [smem] + in_specs
         out = pl.pallas_call(
             kern,
             grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
-            + [q_spec, full, full],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((B, Vc, TILE_H, TILE_W),
                                    lambda i, j: (0, 0, i, j),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, Vc, Hq, Wq), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((T, TILE_H, TILE_W), jnp.float32),
-                pltpu.VMEM((T, TILE_H, TILE_W), jnp.float32),
-            ],
             interpret=interpret,
-        )(cam, mats[v0:v0 + Vc], wh_taps, q, ref_p, quads_p[v0:v0 + Vc])
-        outs.append(out[..., :H, :W])
-    costs = jnp.concatenate(outs, axis=1)                    # [B, V, H, W]
-    return jnp.moveaxis(costs, 1, -1)                        # [B, H, W, V]
+        )(*ins)
+        outs.append(out[..., :Hp, :Wp])
+    costs = jnp.concatenate(outs, axis=1)                    # [B, Vc, H', W']
+    return jnp.moveaxis(costs, 1, -1)                        # [B, H', W', V]
 
 
 def plane_to_q(plane: jnp.ndarray) -> jnp.ndarray:
@@ -364,18 +405,21 @@ def plane_to_q(plane: jnp.ndarray) -> jnp.ndarray:
 
 
 def fused_cost_from_ctx(ctx, planes: jnp.ndarray,
+                        parity=None,
+                        view_mask: jnp.ndarray | None = None,
                         interpret: bool = False) -> jnp.ndarray:
-    """ncc_cost_batch-compatible entry: planes [B, H, W, 4] -> [B, H, W, V].
-
-    Uses the CostContext's precomputed M/b and packed quads; requires the
-    static-radius window (the context must not carry an adaptive radius map).
-    """
+    """ncc_cost_batch-compatible entry: planes [B, H', W', 4] -> costs
+    [B, H', W', V] on the evaluation grid (dense, or checkerboard-packed
+    when ``parity`` is 0/1 — then the weight fields in ``ctx`` must already
+    be packed, see engine/patchmatch.py pack helpers)."""
     cam = jnp.stack([ctx.cam_cx, ctx.cam_cy,
                      jnp.asarray(ctx.inv_fx, jnp.float32),
                      jnp.asarray(ctx.inv_fy, jnp.float32)])
-    # color_only (ComputeBilateralWeight_YZL) = spatial factor 1 = inf sigma
-    sigma_sp = jnp.where(ctx.color_only, jnp.inf, ctx.sigma_spatial)
+    wsums = jnp.stack([ctx.sum_w, ctx.sum_wref, ctx.sum_wref2])
     return fused_ncc_costs(
-        plane_to_q(planes), ctx.ref_img, ctx.packed_quads, ctx.M, ctx.b, cam,
-        sigma_sp, ctx.sigma_color, ctx.src_wh,
-        radius=int(ctx.strong_radius), interpret=interpret)
+        plane_to_q(planes), ctx.w_taps, ctx.wref_taps, wsums,
+        ctx.packed_quads, ctx.M, ctx.b, cam, ctx.src_wh,
+        radius=float(ctx.strong_radius),
+        radius_map=ctx.radius if ctx.has_radius_map else None,
+        parity=parity, view_mask=view_mask,
+        interpret=interpret)

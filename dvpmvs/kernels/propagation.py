@@ -208,3 +208,24 @@ def weighted_cost(cost_vec: jnp.ndarray, view_weights: jnp.ndarray,
     num = jnp.sum(cost_vec * view_weights, axis=-1)
     return jnp.where(weight_norm > 0, num / jnp.maximum(weight_norm, 1e-30),
                      COST_MAX)
+
+
+def tile_view_mask(weights: jnp.ndarray) -> jnp.ndarray:
+    """Per-tile active-view bitmask for the fused kernel's view skipping.
+
+    weights [H, W, V] (MHJVS weights, possibly already gated by selection):
+    bit v of out[gi, gj] is set iff any pixel of the 8x128 tile (gi, gj) has
+    weights[..., v] > 0.  Views with zero weight everywhere in a tile cannot
+    contribute to any weighted cost there (APD.cu:1369-1374), so the kernel
+    skips them exactly.
+    """
+    H, W, V = weights.shape
+    assert V <= 31, "int32 tile bitmask holds at most 31 views"
+    gi = -(-H // 8)
+    gj = -(-W // 128)
+    act = jnp.pad(weights > 0, ((0, gi * 8 - H), (0, gj * 128 - W), (0, 0)))
+    act = jnp.any(act.reshape(gi, 8, gj, 128, V), axis=(1, 3))
+    bits = jnp.sum(
+        jnp.where(act, (1 << jnp.arange(V))[None, None, :], 0),
+        axis=-1, dtype=jnp.int32)
+    return bits

@@ -21,6 +21,7 @@ from ..config import PixelState
 from ..geometry.camera import Camera
 from .geom import GeomContext, geom_consistency_cost
 from .ncc import COST_MAX, CostContext, ncc_cost_batch
+from .propagation import tile_view_mask
 from .sampling import plane_from_normal_depth
 
 
@@ -37,22 +38,24 @@ def _mean_selected_baseline(sel_views: jnp.ndarray, ref_cam: Camera,
 def _weighted_sweep_cost(ctx: CostContext, gctx: GeomContext | None,
                          geom_factor, normal, depth_cand, sel_views,
                          view_weights, xs, ys, ref_cam,
-                         depth_min, depth_max):
+                         depth_min, depth_max, view_mask=None):
     """Cost of one candidate depth field under the pixel's normal -> [H, W]."""
     return _sweep_costs(ctx, gctx, geom_factor, normal, depth_cand[None],
                         sel_views, view_weights, xs, ys, ref_cam,
-                        depth_min, depth_max)[0]
+                        depth_min, depth_max, view_mask=view_mask)[0]
 
 
 def _sweep_costs(ctx: CostContext, gctx: GeomContext | None,
                  geom_factor, normal, depth_stack, sel_views,
                  view_weights, xs, ys, ref_cam,
-                 depth_min, depth_max, chunk: int = 8):
+                 depth_min, depth_max, chunk: int = 8, view_mask=None):
     """Costs of K candidate depth fields [K, H, W] -> [K, H, W].
 
     Candidates are evaluated in batched chunks so the fused Pallas backend
     amortizes weights/warp setup; chunking bounds the [k, H, W, V] cost
-    intermediate."""
+    intermediate.  ``view_mask`` skips views whose MHJVS weight is zero
+    everywhere in a tile (exact: the reference's sweep only touches selected
+    weighted views, APD.cu:3979-3987)."""
     K = depth_stack.shape[0]
     w = view_weights * sel_views.astype(jnp.float32)
     norm = jnp.sum(w, axis=-1)
@@ -62,7 +65,7 @@ def _sweep_costs(ctx: CostContext, gctx: GeomContext | None,
         planes = jax.vmap(
             lambda dd: plane_from_normal_depth(normal, dd, xs, ys, ref_cam)
         )(d)
-        cv = ncc_cost_batch(ctx, planes)                     # [k, H, W, V]
+        cv = ncc_cost_batch(ctx, planes, view_mask=view_mask)  # [k,H,W,V]
         if gctx is not None:
             cv = cv + geom_factor * jax.vmap(
                 lambda dd: geom_consistency_cost(gctx, dd))(d)
@@ -95,9 +98,12 @@ def depth_to_weak(
 
     ks = jnp.arange(-radius_steps, radius_steps + 1, dtype=jnp.float32)
     depth_stack = fx * baseline / (disp[None] + ks[:, None, None])
+    vmask = (tile_view_mask(view_weights * sel_views.astype(jnp.float32))
+             if ctx.backend == "pallas" else None)
     p_costs = jnp.minimum(COST_MAX, _sweep_costs(
         ctx, gctx, geom_factor, normal, depth_stack, sel_views, view_weights,
-        xs, ys, ref_cam, depth_min, depth_max))               # [61, H, W]
+        xs, ys, ref_cam, depth_min, depth_max,
+        view_mask=vmask))                                     # [61, H, W]
 
     # local minima ("peaks") over i in [2, 58] (APD.cu:4007-4016)
     interior = jnp.zeros_like(p_costs, dtype=bool)
@@ -159,13 +165,15 @@ def local_refine(
 
     ks = jnp.arange(-radius_steps, radius_steps + 1, dtype=jnp.float32)
     depths = fx * baseline / (disp[None] + ks[:, None, None])
+    vmask = (tile_view_mask(view_weights * sel_views.astype(jnp.float32))
+             if ctx.backend == "pallas" else None)
     costs = _sweep_costs(ctx, gctx, geom_factor, normal, depths, sel_views,
                          view_weights, xs, ys, ref_cam,
-                         depth_min, depth_max)        # [11, H, W]
+                         depth_min, depth_max, view_mask=vmask)  # [11, H, W]
 
     cost_now = _weighted_sweep_cost(ctx, gctx, geom_factor, normal, depth,
                                     sel_views, view_weights, xs, ys, ref_cam,
-                                    depth_min, depth_max)
+                                    depth_min, depth_max, view_mask=vmask)
     best = jnp.argmin(costs, axis=0)
     min_cost = jnp.take_along_axis(costs, best[None], axis=0)[0]
     best_depth = jnp.take_along_axis(depths, best[None], axis=0)[0]
