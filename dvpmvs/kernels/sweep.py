@@ -25,6 +25,43 @@ from .propagation import tile_view_mask
 from .sampling import plane_from_normal_depth
 
 
+def _field_sweep_eligible(ctx: CostContext) -> bool:
+    """The fused sweep kernel serves pallas contexts with a static window."""
+    return (ctx.backend == "pallas" and ctx.packed_quads is not None
+            and not ctx.has_radius_map)
+
+
+def _field_sweep_costs(ctx: CostContext, gctx: GeomContext | None,
+                       geom_factor, depth, baseline, k0: int, K: int,
+                       sel_views, view_weights, ref_cam: Camera,
+                       depth_min, depth_max, chunk: int = 8):
+    """[K, H, W] sweep costs via the fused warp-field Pallas kernel.
+
+    Steps are k - k0 around the per-pixel disparity of ``depth``; weighting,
+    in-range and no-view masking match ``_sweep_costs`` exactly.  The geom
+    term (REFINE_ITER) stays on the XLA path.
+    """
+    from .sweep_pallas import sweep_weighted_from_ctx
+
+    fx = ref_cam.fx
+    w = view_weights * sel_views.astype(jnp.float32)
+    norm = jnp.sum(w, axis=-1)
+    wsum = sweep_weighted_from_ctx(ctx, depth, baseline, fx, w, K=K, k0=k0)
+
+    disp = fx * baseline / jnp.maximum(depth, 1e-12)
+    ks = jnp.arange(K, dtype=jnp.float32) - k0
+    depth_stack = fx * baseline / (disp[None] + ks[:, None, None])
+    if gctx is not None:
+        for c0 in range(0, K, chunk):
+            d = depth_stack[c0:c0 + chunk]
+            g = jax.vmap(lambda dd: geom_consistency_cost(gctx, dd))(d)
+            gw = jnp.sum(g * w[None], axis=-1)
+            wsum = wsum.at[c0:c0 + chunk].add(geom_factor * gw)
+    cost = wsum / jnp.maximum(norm, 1e-30)[None]
+    in_range = (depth_stack >= depth_min) & (depth_stack <= depth_max)
+    return jnp.where(in_range & (norm > 0)[None], cost, COST_MAX)
+
+
 def _mean_selected_baseline(sel_views: jnp.ndarray, ref_cam: Camera,
                             src_cams: Camera) -> jnp.ndarray:
     """Per-pixel mean ||C_ref - C_src|| over selected views -> [H, W]."""
@@ -89,22 +126,36 @@ def depth_to_weak(
     radius_steps: int = 30,
 ) -> jnp.ndarray:
     """Reclassify pixels -> int8 [H, W] of PixelState."""
+    baseline, nsel = _mean_selected_baseline(sel_views, ref_cam, src_cams)
+    fx = ref_cam.fx
+
+    if _field_sweep_eligible(ctx):
+        p_costs = _field_sweep_costs(
+            ctx, gctx, geom_factor, depth, baseline, radius_steps,
+            2 * radius_steps + 1, sel_views, view_weights, ref_cam,
+            depth_min, depth_max)                             # [61, H, W]
+    else:
+        disp = fx * baseline / jnp.maximum(depth, 1e-12)
+        ks = jnp.arange(-radius_steps, radius_steps + 1, dtype=jnp.float32)
+        depth_stack = fx * baseline / (disp[None] + ks[:, None, None])
+        vmask = (tile_view_mask(view_weights * sel_views.astype(jnp.float32))
+                 if ctx.backend == "pallas" else None)
+        p_costs = _sweep_costs(
+            ctx, gctx, geom_factor, normal, depth_stack, sel_views,
+            view_weights, xs, ys, ref_cam, depth_min, depth_max,
+            view_mask=vmask)
+    p_costs = jnp.minimum(COST_MAX, p_costs)
+
+    return classify_from_sweep(p_costs, depth, nsel, radius_steps,
+                               weak_peak_radius)
+
+
+def classify_from_sweep(p_costs: jnp.ndarray, depth: jnp.ndarray,
+                        nsel: jnp.ndarray, radius_steps: int,
+                        weak_peak_radius) -> jnp.ndarray:
+    """Peak-structure classification of sweep cost curves [K, H, W]."""
     H, W = depth.shape
     min_margin = 6
-    baseline, nsel = _mean_selected_baseline(sel_views, ref_cam, src_cams)
-
-    fx = ref_cam.fx
-    disp = fx * baseline / jnp.maximum(depth, 1e-12)
-
-    ks = jnp.arange(-radius_steps, radius_steps + 1, dtype=jnp.float32)
-    depth_stack = fx * baseline / (disp[None] + ks[:, None, None])
-    vmask = (tile_view_mask(view_weights * sel_views.astype(jnp.float32))
-             if ctx.backend == "pallas" else None)
-    p_costs = jnp.minimum(COST_MAX, _sweep_costs(
-        ctx, gctx, geom_factor, normal, depth_stack, sel_views, view_weights,
-        xs, ys, ref_cam, depth_min, depth_max,
-        view_mask=vmask))                                     # [61, H, W]
-
     # local minima ("peaks") over i in [2, 58] (APD.cu:4007-4016)
     interior = jnp.zeros_like(p_costs, dtype=bool)
     is_min = (p_costs[1:-1] < p_costs[:-2]) & (p_costs[1:-1] < p_costs[2:])
@@ -165,15 +216,22 @@ def local_refine(
 
     ks = jnp.arange(-radius_steps, radius_steps + 1, dtype=jnp.float32)
     depths = fx * baseline / (disp[None] + ks[:, None, None])
-    vmask = (tile_view_mask(view_weights * sel_views.astype(jnp.float32))
-             if ctx.backend == "pallas" else None)
-    costs = _sweep_costs(ctx, gctx, geom_factor, normal, depths, sel_views,
-                         view_weights, xs, ys, ref_cam,
-                         depth_min, depth_max, view_mask=vmask)  # [11, H, W]
-
-    cost_now = _weighted_sweep_cost(ctx, gctx, geom_factor, normal, depth,
-                                    sel_views, view_weights, xs, ys, ref_cam,
-                                    depth_min, depth_max, view_mask=vmask)
+    if _field_sweep_eligible(ctx):
+        costs = _field_sweep_costs(
+            ctx, gctx, geom_factor, depth, baseline, radius_steps,
+            2 * radius_steps + 1, sel_views, view_weights, ref_cam,
+            depth_min, depth_max)                            # [11, H, W]
+        cost_now = costs[radius_steps]
+    else:
+        vmask = (tile_view_mask(view_weights * sel_views.astype(jnp.float32))
+                 if ctx.backend == "pallas" else None)
+        costs = _sweep_costs(ctx, gctx, geom_factor, normal, depths,
+                             sel_views, view_weights, xs, ys, ref_cam,
+                             depth_min, depth_max, view_mask=vmask)
+        cost_now = _weighted_sweep_cost(ctx, gctx, geom_factor, normal,
+                                        depth, sel_views, view_weights, xs,
+                                        ys, ref_cam, depth_min, depth_max,
+                                        view_mask=vmask)
     best = jnp.argmin(costs, axis=0)
     min_cost = jnp.take_along_axis(costs, best[None], axis=0)[0]
     best_depth = jnp.take_along_axis(depths, best[None], axis=0)[0]
