@@ -55,6 +55,7 @@ from ..kernels.sweep import depth_to_weak, local_refine
 from ..kernels.weak import (AnchorResult, demote_detail, edge_complexity,
                             edge_ray_distance, find_anchors,
                             label_boundary_distance, ransac_fit_plane)
+from ..kernels.gatherfree import take0
 from .packing import pack_ctx, pack_parity, unpack_parity
 from .state import PMState, PassOutput
 
@@ -143,10 +144,9 @@ def _propagate_color_strong(
 
     # adopt best direction candidate (APD.cu:2544-2567)
     min_idx = jnp.argmin(final_costs, axis=0)
-    best_cost = jnp.take_along_axis(final_costs, min_idx[None], axis=0)[0]
-    best_plane = jnp.take_along_axis(
-        cand_planes, min_idx[None, ..., None], axis=0)[0]
-    best_flag = jnp.take_along_axis(flags, min_idx[None], axis=0)[0]
+    best_cost = take0(final_costs, min_idx)
+    best_plane = take0(cand_planes, min_idx)
+    best_flag = take0(flags, min_idx)
     depth_before = depth_from_plane(best_plane, xs_c, ys_c, ref_cam)
     adopt = (best_flag & (depth_before >= dyn.depth_min)
              & (depth_before <= dyn.depth_max) & (best_cost < cost0))
@@ -174,8 +174,8 @@ def _propagate_color_strong(
     ref_ok = (ref_depths >= dyn.depth_min) & (ref_depths <= dyn.depth_max)
     ref_costs = jnp.where(ref_ok, ref_costs, jnp.inf)
     rmin = jnp.argmin(ref_costs, axis=0)
-    rcost = jnp.take_along_axis(ref_costs, rmin[None], axis=0)[0]
-    rplane = jnp.take_along_axis(ref_planes, rmin[None, ..., None], axis=0)[0]
+    rcost = take0(ref_costs, rmin)
+    rplane = take0(ref_planes, rmin)
     take_ref = rcost < cost_now
     plane_now = jnp.where(take_ref[..., None], rplane, plane_now)
     cost_now = jnp.where(take_ref, rcost, cost_now)
@@ -260,10 +260,9 @@ def _propagate_color_weak(
     cost0 = weighted_cost(cur_vec, view_weights, weight_norm)
 
     min_idx = jnp.argmin(final_costs, axis=0)
-    best_cost = jnp.take_along_axis(final_costs, min_idx[None], axis=0)[0]
-    best_plane = jnp.take_along_axis(
-        cand_planes, min_idx[None, ..., None], axis=0)[0]
-    best_flag = jnp.take_along_axis(flags, min_idx[None], axis=0)[0]
+    best_cost = take0(final_costs, min_idx)
+    best_plane = take0(cand_planes, min_idx)
+    best_flag = take0(flags, min_idx)
     depth_before = depth_from_plane(best_plane, xs, ys, ref_cam)
     adopt = (best_flag & (depth_before >= dyn.depth_min)
              & (depth_before <= dyn.depth_max) & (best_cost < cost0))
@@ -302,8 +301,8 @@ def _propagate_color_weak(
     ref_ok = (ref_depths >= dyn.depth_min) & (ref_depths <= dyn.depth_max)
     ref_costs = jnp.where(ref_ok, ref_costs, jnp.inf)
     rmin = jnp.argmin(ref_costs, axis=0)
-    rcost = jnp.take_along_axis(ref_costs, rmin[None], axis=0)[0]
-    rplane = jnp.take_along_axis(ref_planes, rmin[None, ..., None], axis=0)[0]
+    rcost = take0(ref_costs, rmin)
+    rplane = take0(ref_planes, rmin)
     take_ref = rcost < cost_now
     plane_now = jnp.where(take_ref[..., None], rplane, plane_now)
     cost_now = jnp.where(take_ref, rcost, cost_now)

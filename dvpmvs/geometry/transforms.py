@@ -148,19 +148,16 @@ def warp_terms(plane: jnp.ndarray, x, y, cam: Camera):
 
 
 def random_unit_normals(key: jax.Array, shape) -> jnp.ndarray:
-    """Marsaglia-style uniform unit normals (reference APD.cu:560-575).
+    """Uniform unit normals via the spherical construction -> [*shape, 3].
 
-    The reference rejection-samples (q1, q2) in the unit disc; here a fixed
-    8 attempts per sample are drawn and the first in-disc pair is used
-    (failure probability < 3e-6 per sample).  Returns [*shape, 3].
+    Same distribution as the reference's Marsaglia rejection sampler
+    (APD.cu:560-575) with no rejection loop: z ~ U(-1,1), phi ~ U(0,2pi),
+    n = (r cos phi, r sin phi, z), r = sqrt(1-z^2) — exactly unit and
+    branch-free (the rejection select needed a take_along_axis, which
+    lowers to a pathologically slow gather on TPU).
     """
-    q = jax.random.uniform(key, (*shape, 8, 2), minval=-1.0, maxval=1.0)
-    s = jnp.sum(q * q, axis=-1)                       # [*shape, 8]
-    ok = s < 1.0
-    idx = jnp.argmax(ok, axis=-1)                     # first valid attempt
-    q1 = jnp.take_along_axis(q[..., 0], idx[..., None], axis=-1)[..., 0]
-    q2 = jnp.take_along_axis(q[..., 1], idx[..., None], axis=-1)[..., 0]
-    s1 = q1 * q1 + q2 * q2
-    sq = jnp.sqrt(jnp.maximum(1.0 - s1, 0.0))
-    n = jnp.stack([2.0 * q1 * sq, 2.0 * q2 * sq, 1.0 - 2.0 * s1], axis=-1)
-    return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    kz, kp = jax.random.split(key)
+    z = jax.random.uniform(kz, shape, minval=-1.0, maxval=1.0)
+    phi = jax.random.uniform(kp, shape, minval=0.0, maxval=2.0 * jnp.pi)
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)

@@ -34,8 +34,9 @@ def _masked_median(vals: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     mid = n // 2
     lo = jnp.clip(mid - 1, 0, T - 1)
     hi = jnp.clip(mid, 0, T - 1)
-    v_hi = jnp.take_along_axis(srt, hi[None], axis=0)[0]
-    v_lo = jnp.take_along_axis(srt, lo[None], axis=0)[0]
+    from .gatherfree import take0
+    v_hi = take0(srt, hi)
+    v_lo = take0(srt, lo)
     even = (n % 2) == 0
     return jnp.where(even, 0.5 * (v_lo + v_hi), v_hi)
 

@@ -38,39 +38,53 @@ def view_direction_set(
 ):
     """Per-pixel direction set for the visibility prior.
 
-    Returns (dirs [H, W, V+1, 3], active [H, W, V+1]): slot 0 is the ref ray,
-    slots 1..V the selected source-view rays expressed in the ref frame.
-    Directions are depth-independent up to the projection point (the
-    reference's GetViewDirection normalizes away the depth scale).
+    Returns (dirs [V+1, 3, H, W], active [V+1, H, W]): slot 0 is the ref
+    ray, slots 1..V the selected source-view rays expressed in the ref
+    frame.  Component-major layout keeps the image dims on the TPU lanes
+    (a trailing size-3/V axis runs the VPU nearly empty).  Directions are
+    depth-independent up to the projection point (the reference's
+    GetViewDirection normalizes away the depth scale).
     """
     H, W = depth.shape
-    ray_ref = _normalize(jnp.stack([rx, ry, jnp.ones_like(rx)], axis=-1))
+    ones = jnp.ones_like(rx)
 
-    # project each pixel at its depth into every src view
-    X = jnp.stack([depth * rx, depth * ry, depth], axis=-1)        # cam frame
-    Xw = jnp.einsum("ji,hwj->hwi", ref_cam.R, X) + ref_cam.c
+    def norm3(x, y, z):
+        inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-24))
+        return jnp.stack([x * inv, y * inv, z * inv])   # [3, H, W]
+
+    ray_ref = norm3(rx, ry, ones)
+
+    # world point of each pixel at its depth (component-major)
+    Xc = jnp.stack([depth * rx, depth * ry, depth])     # [3, H, W]
+    Rr = ref_cam.R
+    Xw = jnp.stack([Rr[0, 0] * Xc[0] + Rr[1, 0] * Xc[1] + Rr[2, 0] * Xc[2]
+                    + ref_cam.c[0],
+                    Rr[0, 1] * Xc[0] + Rr[1, 1] * Xc[1] + Rr[2, 1] * Xc[2]
+                    + ref_cam.c[1],
+                    Rr[0, 2] * Xc[0] + Rr[1, 2] * Xc[1] + Rr[2, 2] * Xc[2]
+                    + ref_cam.c[2]])
 
     def per_view(K, R, t):
-        xc = jnp.einsum("ij,hwj->hwi", R, Xw) + t
-        h = jnp.einsum("ij,hwj->hwi", K, xc)
-        z = jnp.where(jnp.abs(h[..., 2]) < 1e-12, 1e-12, h[..., 2])
-        sx = h[..., 0] / z
-        sy = h[..., 1] / z
+        xc = jnp.stack([R[i, 0] * Xw[0] + R[i, 1] * Xw[1] + R[i, 2] * Xw[2]
+                        + t[i] for i in range(3)])
+        h = jnp.stack([K[i, 0] * xc[0] + K[i, 1] * xc[1] + K[i, 2] * xc[2]
+                       for i in range(3)])
+        z = jnp.where(jnp.abs(h[2]) < 1e-12, 1e-12, h[2])
         # src-frame ray at the projected (rounded) pixel
-        sxi = jnp.floor(sx + 0.5)
-        syi = jnp.floor(sy + 0.5)
+        sxi = jnp.floor(h[0] / z + 0.5)
+        syi = jnp.floor(h[1] / z + 0.5)
         srx = (sxi - K[0, 2]) / K[0, 0]
         sry = (syi - K[1, 2]) / K[1, 1]
-        ray_src = _normalize(jnp.stack([srx, sry, jnp.ones_like(srx)], axis=-1))
+        ray_src = norm3(srx, sry, jnp.ones_like(srx))
         # rotate into ref frame: R_ref R_src^T
         Rc = jnp.einsum("ij,kj->ik", ref_cam.R, R)
-        return jnp.einsum("ij,hwj->hwi", Rc, ray_src)
+        return jnp.stack([Rc[i, 0] * ray_src[0] + Rc[i, 1] * ray_src[1]
+                          + Rc[i, 2] * ray_src[2] for i in range(3)])
 
     src_dirs = jax.vmap(per_view)(src_cams.K, src_cams.R, src_cams.t)
-    src_dirs = jnp.moveaxis(src_dirs, 0, 2)                        # [H, W, V, 3]
-    dirs = jnp.concatenate([ray_ref[:, :, None, :], src_dirs], axis=2)
+    dirs = jnp.concatenate([ray_ref[None], src_dirs])   # [V+1, 3, H, W]
     active = jnp.concatenate(
-        [jnp.ones((H, W, 1), bool), sel_views.astype(bool)], axis=2)
+        [jnp.ones((1, H, W), bool), jnp.moveaxis(sel_views, -1, 0)])
     return dirs, active
 
 
@@ -84,15 +98,22 @@ def visibility_prior_normal(
 ) -> jnp.ndarray:
     """Sample per-pixel unit normals facing away from all active view rays."""
     H, W = depth.shape
-    dirs, active = view_direction_set(depth, sel_views, rx, ry, ref_cam, src_cams)
-    cand = random_unit_normals(key, (samples, H, W))               # [S, H, W, 3]
-    dots = jnp.einsum("shwc,hwvc->shwv", cand, dirs)
-    ok = jnp.all((dots <= 0.0) | ~active[None], axis=-1)          # [S, H, W]
-    first = jnp.argmax(ok, axis=0)                                # [H, W]
+    dirs, active = view_direction_set(depth, sel_views, rx, ry,
+                                      ref_cam, src_cams)  # [V1,3,H,W]
+    cand = random_unit_normals(key, (samples, H, W))      # [S, H, W, 3]
+    cand_c = jnp.moveaxis(cand, -1, 1)                    # [S, 3, H, W]
+    # all-directions facing test per candidate (component-major)
+    ok = jnp.ones((samples, H, W), bool)
+    for v in range(dirs.shape[0]):
+        dot = (cand_c[:, 0] * dirs[v, 0] + cand_c[:, 1] * dirs[v, 1]
+               + cand_c[:, 2] * dirs[v, 2])               # [S, H, W]
+        ok = ok & ((dot <= 0.0) | ~active[v])
+    first = jnp.argmax(ok, axis=0)                        # [H, W]
     any_ok = jnp.any(ok, axis=0)
-    picked = jnp.take_along_axis(cand, first[None, :, :, None], axis=0)[0]
+    from .gatherfree import take0
+    picked = take0(cand, first)
     # fallback: flip candidate 0 against the reference ray
-    ray_ref = dirs[:, :, 0, :]
+    ray_ref = jnp.moveaxis(dirs[0], 0, -1)                # [H, W, 3]
     flip = jnp.where(jnp.sum(cand[0] * ray_ref, -1, keepdims=True) > 0,
                      -cand[0], cand[0])
     return jnp.where(any_ok[..., None], picked, flip)
@@ -107,9 +128,9 @@ def perturbed_normal(
     """Small random rotation of the normal; keep original if it would face
     the camera (reference intent of GeneratePerturbedNormal, with Q3 fixed)."""
     H, W = normal.shape[:2]
-    ang = jax.random.uniform(key, (H, W, 3), minval=-perturbation,
+    ang = jax.random.uniform(key, (3, H, W), minval=-perturbation,
                              maxval=perturbation)
-    a1, a2, a3 = ang[..., 0], ang[..., 1], ang[..., 2]
+    a1, a2, a3 = ang[0], ang[1], ang[2]
     s1, c1 = jnp.sin(a1), jnp.cos(a1)
     s2, c2 = jnp.sin(a2), jnp.cos(a2)
     s3, c3 = jnp.sin(a3), jnp.cos(a3)

@@ -233,7 +233,8 @@ def local_refine(
                                         ys, ref_cam, depth_min, depth_max,
                                         view_mask=vmask)
     best = jnp.argmin(costs, axis=0)
-    min_cost = jnp.take_along_axis(costs, best[None], axis=0)[0]
-    best_depth = jnp.take_along_axis(depths, best[None], axis=0)[0]
+    from .gatherfree import take0
+    min_cost = take0(costs, best)
+    best_depth = take0(depths, best)
     improve = (cost_now - min_cost > 0.1) & (nsel > 0) & (depth != 0)
     return jnp.where(improve, best_depth, depth)
