@@ -209,7 +209,8 @@ def _make_fused_kernel(B, Vc, T, H_true, W_true, radius,
 
                     # R[u][s] = source row d_lo + u*8 + s: aligned loads
                     # realigned by one dynamic sublane roll + select
-                    nR = DSPAN // TILE_H + 1
+                    # (window spans DSPAN-1+TILE_H rows from d_lo)
+                    nR = (DSPAN - 1 + TILE_H - 1) // TILE_H + 1
                     blks = [quads_ref[v, pl.ds(a0 + u * TILE_H, TILE_H),
                                       pl.ds(col, TILE_W)]
                             for u in range(nR + 1)]
