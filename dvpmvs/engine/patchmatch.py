@@ -104,6 +104,18 @@ def _geom_vec(gctx, plane, xs, ys, ref_cam):
     return geom_consistency_cost(gctx, depth)
 
 
+def _geom_batch(gctx, planes, xs, ys, ref_cam, backend):
+    """Geom cost of K candidate plane fields -> [K, H, W, V].
+
+    One batched Pallas call on TPU (the per-candidate source-depth lookup is
+    an XLA gather otherwise — the dominant cost of geometric passes)."""
+    depths = jax.vmap(lambda p: depth_from_plane(p, xs, ys, ref_cam))(planes)
+    if backend == "pallas":
+        from ..kernels.geom_pallas import geom_cost_pallas
+        return geom_cost_pallas(gctx, depths)
+    return jax.vmap(lambda d: geom_consistency_cost(gctx, d))(depths)
+
+
 def _propagate_color_strong(
     state: PMState, color: int, it, key, ctx, ctx_pk, ref_cam, src_cams,
     static: PMStatic, dyn: PMDynamic, xs, ys, rx, ry, ray, parity,
@@ -239,24 +251,21 @@ def _propagate_color_weak(
         k_view, cost_array, flags, prior, it,
         num_samples=static.view_samples)
 
-    def add_geom(cv, plane_k, flag_k):
-        if gctx is None:
-            return cv
-        g = _geom_vec(gctx, plane_k, xs, ys, ref_cam)
-        g = jnp.where(flag_k[..., None], g, 3.0)
-        return cv + dyn.geom_factor * g
-
     if gctx is not None:
-        cost_array = jnp.stack([
-            add_geom(cost_array[k], cand_planes[k], flags[k])
-            for k in range(8)])
+        # one batched geom eval for candidates + current + fit
+        # (missing anchors cost geom_factor*3, APD.cu:2857-2868)
+        g10 = _geom_batch(
+            gctx, jnp.concatenate(
+                [cand_planes, state.plane[None], fit_plane[None]]),
+            xs, ys, ref_cam, static.cost_backend)
+        g8 = jnp.where(flags[..., None], g10[:8], 3.0)
+        cost_array = cost_array + dyn.geom_factor * g8
     final_costs = weighted_cost(cost_array, view_weights[None],
                                 weight_norm[None])
 
     cur_vec = deformable_cost(ctx_yzl, state.plane, at)
     if gctx is not None:
-        cur_vec = cur_vec + dyn.geom_factor * _geom_vec(
-            gctx, state.plane, xs, ys, ref_cam)
+        cur_vec = cur_vec + dyn.geom_factor * g10[8]
     cost0 = weighted_cost(cur_vec, view_weights, weight_norm)
 
     min_idx = jnp.argmin(final_costs, axis=0)
@@ -274,8 +283,7 @@ def _propagate_color_weak(
     has_fit = jnp.any(fit_plane[..., :3] != 0, axis=-1)
     fit_vec = deformable_cost(ctx_yzl, fit_plane, at)
     if gctx is not None:
-        fit_vec = fit_vec + dyn.geom_factor * _geom_vec(
-            gctx, fit_plane, xs, ys, ref_cam)
+        fit_vec = fit_vec + dyn.geom_factor * g10[9]
     fit_cost = weighted_cost(fit_vec, view_weights, weight_norm)
     fit_depth = depth_from_plane(fit_plane, xs, ys, ref_cam)
     take_fit = (has_fit & (fit_depth >= dyn.depth_min)
@@ -291,10 +299,8 @@ def _propagate_color_weak(
     ref_vec = jax.lax.map(
         lambda p: deformable_cost(ctx_yzl, p, at), ref_planes)
     if gctx is not None:
-        ref_vec = jnp.stack([
-            ref_vec[k] + dyn.geom_factor * _geom_vec(
-                gctx, ref_planes[k], xs, ys, ref_cam)
-            for k in range(6)])
+        ref_vec = ref_vec + dyn.geom_factor * _geom_batch(
+            gctx, ref_planes, xs, ys, ref_cam, static.cost_backend)
     ref_costs = weighted_cost(ref_vec, view_weights[None], weight_norm[None])
     ref_depths = jax.vmap(lambda p: depth_from_plane(p, xs, ys, ref_cam))(
         ref_planes)

@@ -39,8 +39,9 @@ def _field_sweep_costs(ctx: CostContext, gctx: GeomContext | None,
 
     Steps are k - k0 around the per-pixel disparity of ``depth``; weighting,
     in-range and no-view masking match ``_sweep_costs`` exactly.  The geom
-    term (REFINE_ITER) stays on the XLA path.
+    term (REFINE_ITER) folds through the geom Pallas kernel.
     """
+    from .geom_pallas import geom_cost_pallas
     from .sweep_pallas import sweep_weighted_from_ctx
 
     fx = ref_cam.fx
@@ -52,11 +53,8 @@ def _field_sweep_costs(ctx: CostContext, gctx: GeomContext | None,
     ks = jnp.arange(K, dtype=jnp.float32) - k0
     depth_stack = fx * baseline / (disp[None] + ks[:, None, None])
     if gctx is not None:
-        for c0 in range(0, K, chunk):
-            d = depth_stack[c0:c0 + chunk]
-            g = jax.vmap(lambda dd: geom_consistency_cost(gctx, dd))(d)
-            gw = jnp.sum(g * w[None], axis=-1)
-            wsum = wsum.at[c0:c0 + chunk].add(geom_factor * gw)
+        gw = geom_cost_pallas(gctx, depth_stack, vweights=w, fold=True)
+        wsum = wsum + geom_factor * gw
     cost = wsum / jnp.maximum(norm, 1e-30)[None]
     in_range = (depth_stack >= depth_min) & (depth_stack <= depth_max)
     return jnp.where(in_range & (norm > 0)[None], cost, COST_MAX)
