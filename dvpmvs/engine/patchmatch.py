@@ -104,15 +104,17 @@ def _geom_vec(gctx, plane, xs, ys, ref_cam):
     return geom_consistency_cost(gctx, depth)
 
 
-def _geom_batch(gctx, planes, xs, ys, ref_cam, backend):
-    """Geom cost of K candidate plane fields -> [K, H, W, V].
+def _geom_batch(gctx, planes, xs, ys, ref_cam, backend, parity=None):
+    """Geom cost of K candidate plane fields -> [K, H', W', V].
 
     One batched Pallas call on TPU (the per-candidate source-depth lookup is
-    an XLA gather otherwise — the dominant cost of geometric passes)."""
+    an XLA gather otherwise — the dominant cost of geometric passes).  With
+    ``parity`` the planes/coords live on the checkerboard-packed grid."""
     depths = jax.vmap(lambda p: depth_from_plane(p, xs, ys, ref_cam))(planes)
     if backend == "pallas":
         from ..kernels.geom_pallas import geom_cost_pallas
-        return geom_cost_pallas(gctx, depths)
+        return geom_cost_pallas(gctx, depths, parity=parity)
+    assert parity is None
     return jax.vmap(lambda d: geom_consistency_cost(gctx, d))(depths)
 
 
@@ -220,30 +222,50 @@ def _propagate_color_strong(
 
 def _propagate_color_weak(
     state: PMState, anchors: AnchorResult, fit_plane: jnp.ndarray,
-    color: int, it, key, ctx, ctx_yzl, gctx, ref_img, ref_cam, src_cams,
+    color: int, it, key, ctx, ctx_pk, ctx_yzl, ctx_yzl_pk, gctx,
+    ref_img, ref_cam, src_cams,
     static: PMStatic, dyn: PMDynamic, xs, ys, rx, ry, parity,
 ):
-    """One weak half-iteration (CheckerboardPropagationWeak, APD.cu:2739-3089)."""
+    """One weak half-iteration (CheckerboardPropagationWeak, APD.cu:2739-3089).
+
+    Like the strong path, all cost/geom evaluations, MHJVS and refinement run
+    on the checkerboard-packed half grid when the pallas contexts are
+    available; the anchor term is computed at full resolution (anchor
+    coordinates are full-res) and packed, and anchor-plane gathers index only
+    the active color's pixels.
+    """
+    from ..kernels.deformable import AnchorCostTerm
+
     H, W = ref_img.shape
     V = ctx.num_views
     k_view, k_refine = jax.random.split(
         jax.random.fold_in(jax.random.fold_in(key, color), 7))
 
-    at = anchor_cost_term(ctx_yzl, state.plane, anchors, state.sel_views,
-                          ref_img, dyn.sigma_color)
+    use_pk = ctx_pk is not None
+    pk = (lambda a: pack_parity(a, color)) if use_pk else (lambda a: a)
+    par = color if use_pk else None
+    ctx_c = ctx_pk if use_pk else ctx
+    ctx_yzl_c = ctx_yzl_pk if use_pk else ctx_yzl
 
-    # candidates = the first 8 anchors' planes (APD.cu:2768-2779)
+    at_full = anchor_cost_term(ctx_yzl, state.plane, anchors,
+                               state.sel_views, ref_img, dyn.sigma_color)
+    at = AnchorCostTerm(cost=pk(at_full.cost),
+                        has_anchors=pk(at_full.has_anchors))
+
+    # candidates = the first 8 anchors' planes (APD.cu:2768-2779), gathered
+    # for the active color's pixels only
     a8_x = jnp.clip(anchors.coords[:8, ..., 0], 0, W - 1)
     a8_y = jnp.clip(anchors.coords[:8, ..., 1], 0, H - 1)
-    idx8 = a8_y * W + a8_x
-    cand_planes = state.plane.reshape(-1, 4)[idx8]         # [8, H, W, 4]
-    flags = anchors.valid[:8]
+    idx8 = jax.vmap(pk)(a8_y * W + a8_x)                   # [8, H', W']
+    cand_planes = state.plane.reshape(-1, 4)[idx8]         # [8, H', W', 4]
+    flags = jax.vmap(pk)(anchors.valid[:8])
 
     cost_array = jax.lax.map(
-        lambda p: deformable_cost(ctx_yzl, p, at), cand_planes)
+        lambda pl_: deformable_cost(ctx_yzl_c, pl_, at, parity=par),
+        cand_planes)
 
     # anchor-based view-selection prior (APD.cu:2788-2801)
-    sel_a8 = state.sel_views.reshape(-1, V)[idx8]          # [8, H, W, V]
+    sel_a8 = state.sel_views.reshape(-1, V)[idx8]          # [8, H', W', V]
     prior = jnp.sum(jnp.where(flags[..., None],
                               jnp.where(sel_a8, 0.9, 0.1), 0.0), axis=0)
 
@@ -251,19 +273,24 @@ def _propagate_color_weak(
         k_view, cost_array, flags, prior, it,
         num_samples=static.view_samples)
 
+    xs_c, ys_c, rx_c, ry_c = pk(xs), pk(ys), pk(rx), pk(ry)
+    plane_cur = pk(state.plane)
+    sel_cur = pk(state.sel_views)
+    fit_c = pk(fit_plane)
+
     if gctx is not None:
         # one batched geom eval for candidates + current + fit
         # (missing anchors cost geom_factor*3, APD.cu:2857-2868)
         g10 = _geom_batch(
             gctx, jnp.concatenate(
-                [cand_planes, state.plane[None], fit_plane[None]]),
-            xs, ys, ref_cam, static.cost_backend)
+                [cand_planes, plane_cur[None], fit_c[None]]),
+            xs_c, ys_c, ref_cam, static.cost_backend, parity=par)
         g8 = jnp.where(flags[..., None], g10[:8], 3.0)
         cost_array = cost_array + dyn.geom_factor * g8
     final_costs = weighted_cost(cost_array, view_weights[None],
                                 weight_norm[None])
 
-    cur_vec = deformable_cost(ctx_yzl, state.plane, at)
+    cur_vec = deformable_cost(ctx_yzl_c, plane_cur, at, parity=par)
     if gctx is not None:
         cur_vec = cur_vec + dyn.geom_factor * g10[8]
     cost0 = weighted_cost(cur_vec, view_weights, weight_norm)
@@ -272,38 +299,40 @@ def _propagate_color_weak(
     best_cost = take0(final_costs, min_idx)
     best_plane = take0(cand_planes, min_idx)
     best_flag = take0(flags, min_idx)
-    depth_before = depth_from_plane(best_plane, xs, ys, ref_cam)
+    depth_before = depth_from_plane(best_plane, xs_c, ys_c, ref_cam)
     adopt = (best_flag & (depth_before >= dyn.depth_min)
              & (depth_before <= dyn.depth_max) & (best_cost < cost0))
-    plane_now = jnp.where(adopt[..., None], best_plane, state.plane)
+    plane_now = jnp.where(adopt[..., None], best_plane, plane_cur)
     cost_now = jnp.where(adopt, best_cost, cost0)
-    sel_now = jnp.where(adopt[..., None], temp_sel, state.sel_views)
+    sel_now = jnp.where(adopt[..., None], temp_sel, sel_cur)
 
     # fit-plane test (PlaneHypothesisRefinementWeak, APD.cu:1920-1950)
-    has_fit = jnp.any(fit_plane[..., :3] != 0, axis=-1)
-    fit_vec = deformable_cost(ctx_yzl, fit_plane, at)
+    has_fit = jnp.any(fit_c[..., :3] != 0, axis=-1)
+    fit_vec = deformable_cost(ctx_yzl_c, fit_c, at, parity=par)
     if gctx is not None:
         fit_vec = fit_vec + dyn.geom_factor * g10[9]
     fit_cost = weighted_cost(fit_vec, view_weights, weight_norm)
-    fit_depth = depth_from_plane(fit_plane, xs, ys, ref_cam)
+    fit_depth = depth_from_plane(fit_c, xs_c, ys_c, ref_cam)
     take_fit = (has_fit & (fit_depth >= dyn.depth_min)
                 & (fit_depth <= dyn.depth_max) & (fit_cost < cost_now))
-    plane_now = jnp.where(take_fit[..., None], fit_plane, plane_now)
+    plane_now = jnp.where(take_fit[..., None], fit_c, plane_now)
     cost_now = jnp.where(take_fit, fit_cost, cost_now)
 
     # 6-plane random refinement with the deformable cost
-    cur_depth = depth_from_plane(plane_now, xs, ys, ref_cam)
+    cur_depth = depth_from_plane(plane_now, xs_c, ys_c, ref_cam)
     ref_planes = refinement_planes(
-        k_refine, plane_now[..., :3], cur_depth, sel_now, rx, ry, xs, ys,
-        ref_cam, src_cams, dyn.depth_min, dyn.depth_max)
+        k_refine, plane_now[..., :3], cur_depth, sel_now, rx_c, ry_c,
+        xs_c, ys_c, ref_cam, src_cams, dyn.depth_min, dyn.depth_max)
     ref_vec = jax.lax.map(
-        lambda p: deformable_cost(ctx_yzl, p, at), ref_planes)
+        lambda pl_: deformable_cost(ctx_yzl_c, pl_, at, parity=par),
+        ref_planes)
     if gctx is not None:
         ref_vec = ref_vec + dyn.geom_factor * _geom_batch(
-            gctx, ref_planes, xs, ys, ref_cam, static.cost_backend)
+            gctx, ref_planes, xs_c, ys_c, ref_cam, static.cost_backend,
+            parity=par)
     ref_costs = weighted_cost(ref_vec, view_weights[None], weight_norm[None])
-    ref_depths = jax.vmap(lambda p: depth_from_plane(p, xs, ys, ref_cam))(
-        ref_planes)
+    ref_depths = jax.vmap(
+        lambda pl_: depth_from_plane(pl_, xs_c, ys_c, ref_cam))(ref_planes)
     ref_ok = (ref_depths >= dyn.depth_min) & (ref_depths <= dyn.depth_max)
     ref_costs = jnp.where(ref_ok, ref_costs, jnp.inf)
     rmin = jnp.argmin(ref_costs, axis=0)
@@ -315,14 +344,21 @@ def _propagate_color_weak(
 
     if static.state == RunState.REFINE_INIT:
         improved = cost_now < cost0 - 0.1
-        plane_new = jnp.where(improved[..., None], plane_now, state.plane)
+        plane_new = jnp.where(improved[..., None], plane_now, plane_cur)
     else:
         plane_new = plane_now
 
     # re-cost with the strong full-window NCC for comparability
     # (APD.cu:3072-3088)
-    final_vec = ncc_cost(ctx, plane_new)
+    final_vec = ncc_cost(ctx_c, plane_new, parity=par)
     cost_final = weighted_cost(final_vec, view_weights, weight_norm)
+
+    if use_pk:
+        upk = lambda p_, o: unpack_parity(p_, color, o)
+        plane_new = upk(plane_new, state.plane)
+        cost_final = upk(cost_final, state.cost)
+        sel_now = upk(sel_now, state.sel_views)
+        view_weights = upk(view_weights, state.view_weights)
 
     mask = (parity == color) & (state.weak == PixelState.WEAK)
     m1 = mask[..., None]
@@ -390,12 +426,15 @@ def run_pass(
     complexity = None
     edge_dist = None
     label_dist = None
+    ctx_yzl_pks = (None, None)
     if use_apd:
         ctx_yzl = build_cost_context(
             ref_img, src_imgs, ref_cam, src_cams,
             sigma_spatial=dyn.sigma_spatial, sigma_color=dyn.sigma_color,
             strong_radius=static.strong_radius, backend=static.cost_backend,
             color_only_weights=True)
+        if static.cost_backend == "pallas":
+            ctx_yzl_pks = (pack_ctx(ctx_yzl, 0), pack_ctx(ctx_yzl, 1))
         if static.use_edge and edge is not None:
             complexity = edge_complexity(edge, static.strong_radius)
             edge_dist = edge_ray_distance(edge.astype(bool))
@@ -462,7 +501,8 @@ def run_pass(
                     st.weak == PixelState.WEAK, new_radius, st.radius))
             for color in (0, 1):
                 st = _propagate_color_weak(
-                    st, anchors, fit_plane, color, it, k_it, ctx, ctx_yzl,
+                    st, anchors, fit_plane, color, it, k_it, ctx,
+                    ctx_pks[color], ctx_yzl, ctx_yzl_pks[color],
                     gctx, ref_img, ref_cam, src_cams, static, dyn,
                     xs, ys, rx, ry, parity)
         return st

@@ -49,22 +49,68 @@ def anchor_cost_term(
     H, W = ref_img.shape
     V = ctx.num_views
     A = anchors.coords.shape[0]
-    warped, in_view = warp_field(ctx, plane)      # [V, H, W]
+    if ctx.backend == "pallas" and ctx.packed_quads is not None:
+        # identical warp-field semantics through the banded-gather kernel
+        # (the XLA bilinear gather costs ~4 V HW slow-gather elements)
+        from .sweep_pallas import warp_field_pallas
+        n = plane[..., :3]
+        w_d = plane[..., 3]
+        w_d = jnp.where(jnp.abs(w_d) < 1e-12, 1e-12, w_d)
+        invd = -(n[..., 0] * ctx.rx + n[..., 1] * ctx.ry + n[..., 2]) / w_d
+        cam = jnp.stack([ctx.cam_cx, ctx.cam_cy,
+                         jnp.asarray(ctx.inv_fx, jnp.float32),
+                         jnp.asarray(ctx.inv_fy, jnp.float32)])
+        warped, in_view = warp_field_pallas(
+            invd, ctx.rx, ctx.packed_quads, ctx.M, ctx.b, cam, ctx.src_wh)
+    else:
+        warped, in_view = warp_field(ctx, plane)  # [V, H, W]
 
     ax = jnp.clip(anchors.coords[..., 0], 0, W - 1)
     ay = jnp.clip(anchors.coords[..., 1], 0, H - 1)
     idx = ay * W + ax                              # [A, H, W]
 
     ref_a = ref_img.reshape(-1)[idx]               # [A, H, W]
-    sel_a = sel_views.reshape(-1, V)[idx]          # [A, H, W, V]
     w_col = jnp.exp(-jnp.abs(ref_a - ref_img[None])
                     / (2.0 * sigma_color * sigma_color))
     valid = anchors.valid                          # [A, H, W]
 
-    src_a = jax.vmap(lambda wv: wv.reshape(-1)[idx])(warped)     # [V, A, H, W]
-    inv_a = jax.vmap(lambda iv: iv.reshape(-1)[idx])(in_view)    # [V, A, H, W]
+    if ctx.backend == "pallas":
+        # pack per-view data so the anchor gathers move 1+ceil(V/4)+2
+        # elements per (anchor, pixel) instead of 1+3V — XLA gathers run at
+        # ~86M elem/s on TPU and dominate this term.  Warp intensities
+        # quantize to u8, 4 views per int32 (the same quantization the
+        # packed-quad cost kernel applies to sources); in-view and selected
+        # become per-pixel bitmasks.
+        wq = jnp.clip(jnp.round(warped), 0, 255).astype(jnp.int32)
+        C = (V + 3) // 4
+        packs = []
+        for c in range(C):
+            acc = jnp.zeros((H, W), jnp.int32)
+            for j2 in range(4):
+                v = 4 * c + j2
+                if v < V:
+                    acc = acc | (wq[v] << (8 * j2))
+            packs.append(acc)
+        inv_bits = jnp.zeros((H, W), jnp.int32)
+        sel_bits = jnp.zeros((H, W), jnp.int32)
+        for v in range(V):
+            inv_bits = inv_bits | (in_view[v].astype(jnp.int32) << v)
+            sel_bits = sel_bits | (sel_views[..., v].astype(jnp.int32) << v)
 
-    sees = jnp.moveaxis(sel_a, -1, 0)              # [V, A, H, W]
+        pk_a = [p.reshape(-1)[idx] for p in packs]          # C x [A, H, W]
+        invb_a = inv_bits.reshape(-1)[idx]
+        selb_a = sel_bits.reshape(-1)[idx]
+        src_a = jnp.stack([((pk_a[v // 4] >> (8 * (v % 4))) & 0xFF)
+                           .astype(jnp.float32) for v in range(V)])
+        inv_a = jnp.stack([((invb_a >> v) & 1).astype(bool)
+                           for v in range(V)])
+        sees = jnp.stack([((selb_a >> v) & 1).astype(bool)
+                          for v in range(V)])
+    else:
+        sel_a = sel_views.reshape(-1, V)[idx]      # [A, H, W, V]
+        src_a = jax.vmap(lambda wv: wv.reshape(-1)[idx])(warped)
+        inv_a = jax.vmap(lambda iv: iv.reshape(-1)[idx])(in_view)
+        sees = jnp.moveaxis(sel_a, -1, 0)          # [V, A, H, W]
     usable = valid[None] & sees & inv_a            # contributes to NCC
     oov = valid[None] & sees & ~inv_a              # contributes cost_max
 
@@ -98,11 +144,15 @@ def anchor_cost_term(
 
 def deformable_cost(
     ctx_yzl: CostContext,
-    plane_candidate: jnp.ndarray,    # [H, W, 4]
+    plane_candidate: jnp.ndarray,    # [H', W', 4]
     anchor_term: AnchorCostTerm,
+    parity=None,
 ) -> jnp.ndarray:
-    """0.25 * center-window NCC (color-only weights) + 0.75 * anchor term."""
-    center = ncc_cost(ctx_yzl, plane_candidate)       # [H, W, V]
+    """0.25 * center-window NCC (color-only weights) + 0.75 * anchor term.
+
+    With ``parity`` everything (ctx fields, candidate planes, anchor term)
+    lives on the checkerboard-packed half grid."""
+    center = ncc_cost(ctx_yzl, plane_candidate, parity=parity)  # [H',W',V]
     return jnp.where(anchor_term.has_anchors,
                      0.25 * center + 0.75 * anchor_term.cost,
                      center)

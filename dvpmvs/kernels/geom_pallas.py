@@ -41,7 +41,8 @@ TILE_H = 8
 TILE_W = 128
 
 
-def _make_geom_kernel(K, Vc, H_true, W_true, Wsq, fold):
+def _make_geom_kernel(K, Vc, H_true, W_true, Wsq, fold, parity=None):
+    n_xb = 3 if parity is not None else 2
     def kernel(cam_ref, mats_ref, invd_hbm, vw_ref, bits_ref, out_ref,
                invd_scr, sem):
         # cam_ref  (SMEM): [4] cx, cy, inv_fx, inv_fy (reference intrinsics)
@@ -58,12 +59,16 @@ def _make_geom_kernel(K, Vc, H_true, W_true, Wsq, fold):
         cp.start()
         cp.wait()
 
-        ys = (i * TILE_H
-              + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-              ).astype(jnp.float32)
-        xs = (j * TILE_W
-              + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-              ).astype(jnp.float32)
+        ys_i = (i * TILE_H
+                + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0))
+        lane_i = (j * TILE_W
+                  + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1))
+        if parity is not None:
+            xs_i = 2 * lane_i + ((ys_i + parity) % 2)
+        else:
+            xs_i = lane_i
+        ys = ys_i.astype(jnp.float32)
+        xs = xs_i.astype(jnp.float32)
         rx = (xs - cam_ref[0]) * cam_ref[2]
         ry = (ys - cam_ref[1]) * cam_ref[3]
 
@@ -88,7 +93,8 @@ def _make_geom_kernel(K, Vc, H_true, W_true, Wsq, fold):
                 sy = hy / hzs
                 xi = jnp.clip(sx + 0.5, 0.0, W_true - 1.0).astype(jnp.int32)
                 yi = jnp.clip(sy + 0.5, 0.0, H_true - 1.0).astype(jnp.int32)
-                bits = _gather_quads_8x128(bits_ref, v, xi, yi, Wsq)
+                bits = _gather_quads_8x128(bits_ref, v, xi, yi, Wsq,
+                                           n_xb=n_xb)
                 sd = pltpu.bitcast(bits, jnp.float32)
 
                 bx = sd * (sx - cxs) * ifxs
@@ -147,22 +153,24 @@ def _pad_hw(arr, Hq, Wq):
 
 
 @functools.partial(jax.jit, static_argnames=("fold", "view_chunk",
-                                             "interpret"))
+                                             "parity", "interpret"))
 def geom_cost_pallas(gctx: GeomContext, depth_stack: jnp.ndarray,
                      vweights: jnp.ndarray | None = None,
                      fold: bool = False, view_chunk: int = 4,
-                     interpret: bool = False) -> jnp.ndarray:
+                     parity=None, interpret: bool = False) -> jnp.ndarray:
     """Geom costs of K candidate depth fields.
 
-    depth_stack [K, H, W] -> [K, H, W, V], or the vweights fold [K, H, W]
-    (``vweights`` [H, W, V], required with ``fold``).
+    depth_stack [K, H', W'] -> [K, H', W', V], or the vweights fold
+    [K, H', W'] (``vweights`` [H', W', V], required with ``fold``).  With
+    ``parity``, (H', W') is the checkerboard-packed half grid (the source
+    depth maps stay full resolution).
     """
     V, H, W = gctx.src_depths.shape
-    K = depth_stack.shape[0]
-    Hq = -(-H // TILE_H) * TILE_H
-    Wq = -(-W // TILE_W) * TILE_W
-    Hsq = Hq
-    Wsq = Wq
+    K, Hp, Wp = depth_stack.shape
+    Hq = -(-Hp // TILE_H) * TILE_H
+    Wq = -(-Wp // TILE_W) * TILE_W
+    Hsq = -(-H // TILE_H) * TILE_H
+    Wsq = -(-W // TILE_W) * TILE_W
 
     invd = jnp.where(depth_stack > 0, 1.0 / jnp.maximum(depth_stack, 1e-12),
                      0.0)
@@ -189,7 +197,7 @@ def geom_cost_pallas(gctx: GeomContext, depth_stack: jnp.ndarray,
     acc = None
     for v0 in range(0, V, view_chunk):
         Vc = min(view_chunk, V - v0)
-        kern = _make_geom_kernel(K, Vc, H, W, Wsq, fold)
+        kern = _make_geom_kernel(K, Vc, H, W, Wsq, fold, parity=parity)
         out_spec = (pl.BlockSpec((K, TILE_H, TILE_W), lambda i, j: (0, i, j),
                                  memory_space=pltpu.VMEM) if fold else
                     pl.BlockSpec((K, Vc, TILE_H, TILE_W),
@@ -214,7 +222,7 @@ def geom_cost_pallas(gctx: GeomContext, depth_stack: jnp.ndarray,
         if fold:
             acc = part if acc is None else acc + part
         else:
-            outs.append(part[:, :, :H, :W])
+            outs.append(part[:, :, :Hp, :Wp])
     if fold:
-        return acc[:, :H, :W]
+        return acc[:, :Hp, :Wp]
     return jnp.moveaxis(jnp.concatenate(outs, axis=1), 1, -1)  # [K,H,W,V]

@@ -362,16 +362,22 @@ def _ncc_cost_exact(ctx: CostContext, plane: jnp.ndarray) -> jnp.ndarray:
 
 
 def ncc_cost(ctx: CostContext, plane: jnp.ndarray,
-             view_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+             view_mask: Optional[jnp.ndarray] = None,
+             parity=None) -> jnp.ndarray:
     """Bilateral-NCC cost of one plane field.
 
     plane [H, W, 4] (ref-frame n, dist w) -> cost [H, W, V] in [0, 2].
+    ``parity`` (pallas only) evaluates on a checkerboard-packed half grid
+    whose ctx fields are packed to match.
     """
     if ctx.backend == "warp":
+        assert parity is None
         return _ncc_cost_warp(ctx, plane)
     if ctx.backend == "pallas":
         from .ncc_fused import fused_cost_from_ctx
-        return fused_cost_from_ctx(ctx, plane[None], view_mask=view_mask)[0]
+        return fused_cost_from_ctx(ctx, plane[None], view_mask=view_mask,
+                                   parity=parity)[0]
+    assert parity is None
     return _ncc_cost_exact(ctx, plane)
 
 

@@ -52,7 +52,7 @@ PAD_TOP = 8             # blank rows above the source quads
 _N_XB = 2               # 256-col source band per (8,128) index block
 
 
-def _gather_quads_8x128(quads_ref, v, x0i, y0i, Wsq):
+def _gather_quads_8x128(quads_ref, v, x0i, y0i, Wsq, n_xb=_N_XB):
     """quads_ref[v][y0i, x0i] for an (8,128) block of int32 indices.
 
     Same aligned-load + roll + take_along_axis scheme as the fused candidate
@@ -63,7 +63,7 @@ def _gather_quads_8x128(quads_ref, v, x0i, y0i, Wsq):
     delta = y0i + PAD_TOP - s_iota
     d_lo = jnp.maximum(jnp.min(delta), 1)
     dj = jnp.clip(delta - d_lo, 0, DSPAN - 1)
-    cols = _N_XB * 128
+    cols = n_xb * 128
     x_lo = jnp.min(x0i)
     cbase = jnp.clip(x_lo, 0, max(Wsq - cols, 0))
     cbase = pl.multiple_of((cbase // 128) * 128, 128)
@@ -76,7 +76,7 @@ def _gather_quads_8x128(quads_ref, v, x0i, y0i, Wsq):
 
     g = jnp.zeros((8, 128), jnp.int32)
     nR = DSPAN // 8 + 1
-    for xb in range(_N_XB):
+    for xb in range(n_xb):
         col = pl.multiple_of(cbase + xb * 128, 128)
         loc = jnp.clip(xlocal - xb * 128, 0, 127)
         in_col = (xlocal >= xb * 128) & (xlocal < (xb + 1) * 128)
@@ -322,3 +322,99 @@ def sweep_weighted_from_ctx(ctx, depth, baseline, fx, vweights,
         ctx.packed_quads, ctx.M, ctx.b, ctx.src_wh,
         K=K, k0=k0, radius=ctx.strong_radius,
         view_chunk=view_chunk, interpret=interpret)
+
+
+def _make_warpfield_kernel(Vc, H_true, W_true, Wsq):
+    def kernel(cam_ref, mats_ref, invd_ref, quads_ref, out_ref, inv_ref):
+        # cam_ref (SMEM): [4 + 2*Vc] cx, cy, inv_fx, inv_fy, then per-view
+        #                 (src_w, src_h)
+        # invd_ref: [1, 8, 128] inverse depth of the plane field
+        # quads_ref: [Vc, PAD_TOP + Hsq + DSPAN + 24, Wsq] packed src quads
+        # out_ref: [Vc, 8, 128] warped intensities
+        # inv_ref: [Vc, 8, 128] int32 in-view flags
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        ys = (i * 8 + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+              ).astype(jnp.float32)
+        xs = (j * 128 + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+              ).astype(jnp.float32)
+        rx = (xs - cam_ref[0]) * cam_ref[2]
+        ry = (ys - cam_ref[1]) * cam_ref[3]
+        invd = invd_ref[0]
+
+        for v in range(Vc):
+            m = [mats_ref[v, c] for c in range(12)]
+            hx = m[0] * rx + m[1] * ry + m[2] + m[9] * invd
+            hy = m[3] * rx + m[4] * ry + m[5] + m[10] * invd
+            hz = m[6] * rx + m[7] * ry + m[8] + m[11] * invd
+            hzs = jnp.where(jnp.abs(hz) < 1e-12, 1e-12, hz)
+            pxu = hx / hzs
+            pyu = hy / hzs
+            px = jnp.clip(pxu, 0.0, W_true - 1.0)
+            py = jnp.clip(pyu, 0.0, H_true - 1.0)
+            x0f = jnp.floor(px)
+            y0f = jnp.floor(py)
+            fx = px - x0f
+            fy = py - y0f
+            g = _gather_quads_8x128(quads_ref, v, x0f.astype(jnp.int32),
+                                    y0f.astype(jnp.int32), Wsq)
+            i00 = (g & 0xFF).astype(jnp.float32)
+            i01 = ((g >> 8) & 0xFF).astype(jnp.float32)
+            i10 = ((g >> 16) & 0xFF).astype(jnp.float32)
+            i11 = ((g >> 24) & 0xFF).astype(jnp.float32)
+            val = ((i00 * (1 - fx) + i01 * fx) * (1 - fy)
+                   + (i10 * (1 - fx) + i11 * fx) * fy)
+            in_view = ((pxu >= 0) & (pxu < cam_ref[4 + 2 * v])
+                       & (pyu >= 0) & (pyu < cam_ref[5 + 2 * v])
+                       & (hz > 0))
+            out_ref[pl.ds(v, 1)] = val[None]
+            inv_ref[pl.ds(v, 1)] = in_view.astype(jnp.int32)[None]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("view_chunk", "interpret"))
+def warp_field_pallas(inv_depth, rx_unused, quads, M, bvec, cam_scalars,
+                      src_wh, view_chunk: int = 6, interpret: bool = False):
+    """W[v](p) = src_v(project(p at depth d(p))) via the banded gather.
+
+    Same semantics as kernels.ncc.warp_field (ONE bilinear sample per
+    (view, pixel) of the plane field's own warp) without the XLA gather.
+    Returns (warped [V, H, W] f32, in_view [V, H, W] bool).
+    """
+    V, H, W = quads.shape
+    Hq = -(-H // 8) * 8
+    Wq = -(-W // 128) * 128
+    invd = _pad_hw(inv_depth[None], Hq, Wq)
+    quads_p = jnp.pad(_pad_hw(quads, Hq, Wq),
+                      ((0, 0), (PAD_TOP, DSPAN + 24), (0, 0)))
+    grid = (Hq // 8, Wq // 128)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def tile_spec(nlead):
+        return pl.BlockSpec((nlead, 8, 128), lambda i, j: (0, i, j),
+                            memory_space=pltpu.VMEM)
+
+    outs, invs = [], []
+    for v0 in range(0, V, view_chunk):
+        Vc = min(view_chunk, V - v0)
+        kern = _make_warpfield_kernel(Vc, H, W, Wq)
+        cam = jnp.concatenate([
+            jnp.asarray(cam_scalars, jnp.float32),
+            jnp.asarray(src_wh[v0:v0 + Vc], jnp.float32).reshape(-1)])
+        mats = jnp.concatenate(
+            [M[v0:v0 + Vc].reshape(Vc, 9), bvec[v0:v0 + Vc].reshape(Vc, 3)],
+            axis=1)
+        w, iv = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[smem, smem, tile_spec(1),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=(tile_spec(Vc), tile_spec(Vc)),
+            out_shape=(jax.ShapeDtypeStruct((Vc, Hq, Wq), jnp.float32),
+                       jax.ShapeDtypeStruct((Vc, Hq, Wq), jnp.int32)),
+            interpret=interpret,
+        )(cam, mats, invd, quads_p[v0:v0 + Vc])
+        outs.append(w[:, :H, :W])
+        invs.append(iv[:, :H, :W])
+    return jnp.concatenate(outs), jnp.concatenate(invs).astype(bool)
