@@ -236,6 +236,8 @@ class SceneRunner:
                     self.run_schedule_pass(i, pass_idx, key)
                     if checkpoint_dir is not None:
                         self.checkpoint(Path(checkpoint_dir))
+        if checkpoint_dir is not None:
+            self.write_benchmark_outputs(Path(checkpoint_dir))
 
     def run_schedule_pass(self, round_idx: int, pass_idx: int, key) -> None:
         """One (round, pass) step of the schedule over this runner's
@@ -258,6 +260,25 @@ class SceneRunner:
                   f"(scale 1/{scale_size}, state={static.state.name}) "
                   f"done in {time.time() - t0:.1f}s")
         self.iteration += 1
+
+    def write_benchmark_outputs(self, out_root: Path, view_ids=None) -> None:
+        """Final-pass benchmark-format outputs per view (the reference's
+        iteration==15 extras, main.cpp:378-385): ``depths_geom.dmb`` and
+        ``normals.dmb`` in writeDepthDmb/writeNormalDmb format plus the
+        ``weak.png`` state visualization."""
+        from ..io.dmb import write_depth_dmb, write_normal_dmb
+        from ..utils.viz import write_weak_viz
+
+        ids = view_ids if view_ids is not None else sorted(self.state)
+        for vid in ids:
+            st = self.state[vid]
+            d = out_root / format_index(vid)
+            d.mkdir(parents=True, exist_ok=True)
+            write_depth_dmb(d / "depths_geom.dmb",
+                            np.asarray(st.depth, np.float32))
+            write_normal_dmb(d / "normals.dmb",
+                             np.asarray(st.normal_world, np.float32))
+            write_weak_viz(d / "weak.png", np.asarray(st.weak))
 
     # ------------------------------------------------------------------
     def checkpoint(self, out_root: Path, view_ids=None) -> None:

@@ -97,6 +97,13 @@ def test_checkpoint_files(fused):
     assert w.dtype == np.uint8
     sv = read_bin_mat(tmp / "ckpt" / "00000000" / "selected_views.bin")
     assert sv.dtype == np.int32
+    # final-pass benchmark-format outputs (reference iteration==15 extras)
+    from dvpmvs.io.dmb import read_dmb
+    dg = read_dmb(tmp / "ckpt" / "00000000" / "depths_geom.dmb")
+    assert dg.shape == (48, 64)
+    nm = read_dmb(tmp / "ckpt" / "00000000" / "normals.dmb")
+    assert nm.shape == (48, 64, 3)
+    assert (tmp / "ckpt" / "00000000" / "weak.png").exists()
 
 
 def test_checkpoint_resume(fused):
