@@ -72,18 +72,25 @@ def _ray(rx, ry):
 
 
 def _initial_cost_first(ctx: CostContext, plane, top_k: int):
-    """ComputeMultiViewInitialCostandSelectedViews (APD.cu:1115-1161)."""
+    """ComputeMultiViewInitialCostandSelectedViews (APD.cu:1115-1161).
+
+    Top-k by iterative min extraction (k is tiny) — a sort over the minor V
+    axis plus a take_along_axis is pathologically slow on TPU."""
     costs = ncc_cost(ctx, plane)                       # [H, W, V]
     V = costs.shape[-1]
-    srt = jnp.sort(costs, axis=-1)
     num_valid = jnp.sum(costs < COST_MAX, axis=-1)
     k = jnp.minimum(num_valid, top_k)                  # [H, W]
+    work = costs
+    total = jnp.zeros(costs.shape[:2], jnp.float32)
+    thresh = jnp.full(costs.shape[:2], COST_MAX, jnp.float32)
     ar = jnp.arange(V)
-    take = ar[None, None, :] < k[..., None]
-    mean_topk = jnp.sum(jnp.where(take, srt, 0.0), axis=-1) \
-        / jnp.maximum(k, 1)
-    thresh = jnp.take_along_axis(
-        srt, jnp.maximum(k - 1, 0)[..., None], axis=-1)[..., 0]
+    for i in range(top_k):
+        m = jnp.min(work, axis=-1)
+        total = total + jnp.where(i < k, m, 0.0)
+        thresh = jnp.where(i == k - 1, m, thresh)
+        hit = ar[None, None, :] == jnp.argmin(work, axis=-1)[..., None]
+        work = jnp.where(hit, jnp.inf, work)
+    mean_topk = total / jnp.maximum(k, 1)
     sel = (costs <= thresh[..., None]) & (k[..., None] > 0)
     cost = jnp.where(k > 0, mean_topk, COST_MAX)
     return cost, sel
