@@ -29,12 +29,15 @@ def _cmd_scene(args) -> int:
         max_base_size=args.max_base_size,
         geometric_passes=args.geometric_passes,
         fusion_variant=args.fusion,
+        full_res_round=args.full_res_round,
+        mesh_views=args.mesh_views,
         seed=args.seed,
     )
     base = PMStatic(
         max_iterations=args.iterations,
         use_edge=not args.no_edge,
-        use_label=args.use_label,
+        use_label=not args.no_label,
+        use_radius=not args.no_radius,
         cost_backend=args.backend,
     )
 
@@ -106,7 +109,15 @@ def main(argv=None) -> int:
     ps.add_argument("--backend", default="pallas",
                     choices=["pallas", "exact", "warp"])
     ps.add_argument("--no-edge", action="store_true")
-    ps.add_argument("--use-label", action="store_true")
+    ps.add_argument("--no-label", action="store_true")
+    ps.add_argument("--no-radius", action="store_true",
+                    help="disable the adaptive per-pixel NCC radius")
+    ps.add_argument("--mesh-views", type=int, default=1,
+                    help="devices along the view axis (batched sharded "
+                         "passes when > 1)")
+    ps.add_argument("--full-res-round", action="store_true",
+                    help="add the full-resolution round the reference "
+                         "schedule stops before (main.cpp:450)")
     ps.add_argument("--mono-prior", action="store_true")
     ps.add_argument("--checkpoint", action="store_true",
                     help="persist per-pass state (reference .dmb/.bin files)")

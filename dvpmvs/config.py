@@ -54,16 +54,21 @@ class PMStatic:
     weak_increment: int = 5
     rotate_time: int = 4            # anchor-ray rotations (weak machinery)
     geom_consistency: bool = False
+    # Feature flags: reference defaults (main.h:99-106) — use_edge/use_limit/
+    # use_label/use_radius all default true and are never cleared by the
+    # schedule; use_APD/use_detail are schedule-controlled.
     use_APD: bool = False           # weak-pixel (deformable patch) machinery
-    use_edge: bool = False          # edge-aware propagation / anchor limits
+    use_edge: bool = True           # edge-adaptive propagation / anchor limits
     use_limit: bool = True          # Bresenham edge-crossing anchor test
-    use_label: bool = False         # segmentation-label anchor augmentation
+    use_label: bool = True          # segmentation-label anchor augmentation
     use_detail: bool = False        # demote edge pixels to UNKNOWN (REFINE_INIT)
-    use_radius: bool = False        # per-pixel adaptive NCC radius
+    use_radius: bool = True         # per-pixel adaptive NCC radius
     view_samples: int = 15          # Monte-Carlo draws in MHJVS
     max_views: int = 32             # reference MAX_IMAGES (bitmask width)
     neighbour_num: int = 12         # 1 center + 11 anchors (reference NEIGHBOUR_NUM)
-    extend_rounds: int = 0          # extended far-propagation rounds (0..3)
+    extend_rounds: int = 3          # extended far-propagation rounds (0..3);
+                                    # only the non-edge ACMM branch uses them
+                                    # (APD.cu:2386-2460)
     # NCC backend: "exact" = per-center-plane window warp via XLA gathers
     # (reference-faithful, gather-bound); "pallas" = banded-gather TPU kernel
     # (reference-faithful, fast); "warp" = warp-once approximation (fastest,
@@ -120,6 +125,9 @@ class SceneConfig:
     show_medium_result: bool = False
     use_mono_prior: bool = True        # FIRST_INIT Depth-Anything bootstrap
     use_priors: bool = True            # edge/label priors
+    full_res_round: bool = False       # add the full-resolution round the
+                                       # reference never runs (main.cpp:450
+                                       # stops at i < round_num - 1, scale 2)
     seed: int = 0
     # distribution
     mesh_views: int = 1                # devices along the view axis
@@ -147,10 +155,13 @@ def round_pass_params(
 
     i = round_idx
     st = base_static
-    ransac_threshold = 0.01 - i * 0.00125 if i > 0 else 0.005
+    # photometric i=0 keeps the 0.005 default (FIRST_INIT, use_APD=false —
+    # unused); all other passes get the schedule value (main.cpp:468, 496)
+    ransac_threshold = 0.01 - i * 0.00125
     weak_peak_radius = 6.0
     if pass_idx == 0:
         if i == 0:
+            ransac_threshold = 0.005
             st = st.replace(state=RunState.FIRST_INIT, use_APD=False,
                             geom_consistency=False)
         else:

@@ -46,15 +46,16 @@ def make_batched_pass(static: PMStatic, mesh: Optional[Mesh] = None,
     """
     def batched(ref_imgs, src_imgs, ref_cams, src_cams, dyn, keys,
                 init_plane_world=None, init_sel=None, init_weak=None,
-                src_depths=None, radius_map=None):
+                src_depths=None, radius_map=None, edge=None, label=None):
         fn = partial(run_pass, static=static)
         return jax.vmap(
-            lambda ri, si, rc, sc, dd, kk, ipw, isel, iw, sd, rm: fn(
+            lambda ri, si, rc, sc, dd, kk, ipw, isel, iw, sd, rm, eg, lb: fn(
                 ri, si, rc, sc, dyn=dd, key=kk, init_plane_world=ipw,
                 init_sel_views=isel, init_weak=iw, src_depths=sd,
-                radius_map=rm),
+                radius_map=rm, edge=eg, label=lb),
         )(ref_imgs, src_imgs, ref_cams, src_cams, dyn, keys,
-          init_plane_world, init_sel, init_weak, src_depths, radius_map)
+          init_plane_world, init_sel, init_weak, src_depths, radius_map,
+          edge, label)
 
     if mesh is None:
         return jax.jit(batched)

@@ -46,7 +46,9 @@ from ..kernels.geom import GeomContext, build_geom_context, geom_consistency_cos
 from ..kernels.median import median_filter_depth
 from ..kernels.ncc import (COST_MAX, CostContext, build_cost_context,
                            ncc_cost, ncc_cost_batch)
-from ..kernels.propagation import (mhjvs, neighbor_prior, select_candidates,
+from ..kernels.propagation import (edge_candidate_merge, judge_extend, mhjvs,
+                                   neighbor_prior, select_candidates,
+                                   select_candidates_edge, tile_plane_mask,
                                    tile_view_mask, weighted_cost)
 from ..kernels.refine import refinement_planes
 from ..kernels.sampling import (plane_from_normal_depth, random_depth,
@@ -128,6 +130,7 @@ def _geom_batch(gctx, planes, xs, ys, ref_cam, backend, parity=None):
 def _propagate_color_strong(
     state: PMState, color: int, it, key, ctx, ctx_pk, ref_cam, src_cams,
     static: PMStatic, dyn: PMDynamic, xs, ys, rx, ry, ray, parity,
+    edge=None, edge_dist=None,
 ):
     """One strong half-iteration (one checkerboard color).
 
@@ -135,30 +138,91 @@ def _propagate_color_strong(
     packed half grid (the red-black scheme can only write this color's
     pixels, APD.cu:3127-3165); candidate selection stays full-res (cheap
     static shifts) and the result scatters back at commit.
+
+    With an edge map (``use_edge``, the reference's permanent default) the
+    candidate set comes from the edge-adaptive dual scan (APD.cu:2038-2140);
+    otherwise the ACMM-style scan plus up to ``static.extend_rounds``
+    extended far-propagation rounds (APD.cu:1385-1895, 2386-2460) runs.
     """
     k_view, k_refine = jax.random.split(jax.random.fold_in(key, color))
     use_pk = ctx_pk is not None
     pk = (lambda a: pack_parity(a, color)) if use_pk else (lambda a: a)
     par = color if use_pk else None
     ctx_c = ctx_pk if use_pk else ctx
+    fused = ctx.backend == "pallas"
 
-    cand_planes, flags_full = select_candidates(state.plane, state.cost, ray)
-    prior = pk(neighbor_prior(state.sel_views, flags_full))
-    cand_planes = jax.vmap(pk)(cand_planes)
-    flags = jax.vmap(pk)(flags_full)
-    # candidates + current plane in ONE batched evaluation (the fused
-    # Pallas backend amortizes weights/warp setup across the whole batch)
-    cost_all = ncc_cost_batch(
-        ctx_c, jnp.concatenate([cand_planes, pk(state.plane)[None]], axis=0),
-        parity=par)
-    cost_array = cost_all[:8]                              # [8, H', W', V]
+    use_edge_branch = (static.use_edge and edge is not None
+                       and edge_dist is not None)
+    if use_edge_branch:
+        # edge-adaptive dual scan: adaptive + short-range candidates, then
+        # the good/bad view-count comparison on their NCC vectors
+        (cand1_f, flags1_f, cand2_f, flags2_f,
+         differs_f) = select_candidates_edge(
+            state.plane, state.cost, edge, edge_dist)
+        prior = pk(neighbor_prior(state.sel_views, flags1_f))
+        cand1 = jax.vmap(pk)(cand1_f)
+        cand2 = jax.vmap(pk)(cand2_f)
+        flags1 = jax.vmap(pk)(flags1_f)
+        flags2 = jax.vmap(pk)(flags2_f)
+        differs = jax.vmap(pk)(differs_f)
+        edge_c = pk(edge.astype(bool))
+        # one 17-plane batch: adaptive(8) + short(8) + current(1); the
+        # short-scan planes are tile-masked to where they picked a
+        # different source pixel than the adaptive scan
+        always = jnp.ones_like(differs[:1]).repeat(8, axis=0)
+        pmask = (tile_plane_mask(jnp.concatenate(
+            [always, differs, always[:1]])) if fused else None)
+        cost_all = ncc_cost_batch(
+            ctx_c,
+            jnp.concatenate([cand1, cand2, pk(state.plane)[None]], axis=0),
+            parity=par, plane_mask=pmask)
+        cost_array, cand_planes, flags = edge_candidate_merge(
+            edge_c, flags1, flags2, differs, cost_all[:8], cost_all[8:16],
+            cand1, cand2, it)
+        cur_vec = cost_all[16]
+    else:
+        cand_f, flags_f, mapc_f = select_candidates(
+            state.plane, state.cost, ray)
+        prior = pk(neighbor_prior(state.sel_views, flags_f))
+        cand_planes = jax.vmap(pk)(cand_f)
+        flags = jax.vmap(pk)(flags_f)
+        # candidates + current plane in ONE batched evaluation (the fused
+        # Pallas backend amortizes weights/warp setup across the batch)
+        cost_all = ncc_cost_batch(
+            ctx_c,
+            jnp.concatenate([cand_planes, pk(state.plane)[None]], axis=0),
+            parity=par)
+        cost_array = cost_all[:8]                          # [8, H', W', V]
+        cur_vec = cost_all[8]
+        if static.extend_rounds > 0:
+            # extended far propagation: re-scan pushed offsets while the
+            # direction's candidate stays bad (JudgeExtend); replacement is
+            # decided on the cost map, fresh NCC only for replaced tiles.
+            # Deviations (documented): strict < replacement (ties keep the
+            # old candidate; the reference re-adopts and re-evaluates the
+            # identical plane on <=), and tile-granular NCC refresh.
+            mapc = jax.vmap(pk)(mapc_f)
+            active = flags
+            for e in range(min(static.extend_rounds, 3)):
+                active = judge_extend(it, e, cost_array, active)
+                ext_f, ext_ok_f, ext_map_f = select_candidates(
+                    state.plane, state.cost, ray, extend_round=e)
+                ext_p = jax.vmap(pk)(ext_f)
+                ext_ok = jax.vmap(pk)(ext_ok_f)
+                ext_map = jax.vmap(pk)(ext_map_f)
+                rep = active & ext_ok & (ext_map < mapc)
+                cand_planes = jnp.where(rep[..., None], ext_p, cand_planes)
+                mapc = jnp.where(rep, ext_map, mapc)
+                pm = tile_plane_mask(rep) if fused else None
+                ca_new = ncc_cost_batch(ctx_c, cand_planes, parity=par,
+                                        plane_mask=pm)
+                cost_array = jnp.where(rep[..., None], ca_new, cost_array)
+
     view_weights, temp_sel, weight_norm = mhjvs(
         k_view, cost_array, flags, prior, it,
         num_samples=static.view_samples)
     final_costs = weighted_cost(cost_array, view_weights[None],
                                 weight_norm[None])          # [8, H', W']
-
-    cur_vec = cost_all[8]
     cost0 = weighted_cost(cur_vec, view_weights, weight_norm)
 
     xs_c, ys_c, rx_c, ry_c = pk(xs), pk(ys), pk(rx), pk(ry)
@@ -434,6 +498,12 @@ def run_pass(
     edge_dist = None
     label_dist = None
     ctx_yzl_pks = (None, None)
+    # the edge-adaptive strong branch runs whenever an edge map exists —
+    # including FIRST_INIT / use_APD=false rounds (main.cpp:480 computes
+    # edges every round; use_edge defaults true in main.h)
+    if static.use_edge and edge is not None:
+        edge = edge.astype(bool)
+        edge_dist = edge_ray_distance(edge)
     if use_apd:
         ctx_yzl = build_cost_context(
             ref_img, src_imgs, ref_cam, src_cams,
@@ -444,7 +514,6 @@ def run_pass(
             ctx_yzl_pks = (pack_ctx(ctx_yzl, 0), pack_ctx(ctx_yzl, 1))
         if static.use_edge and edge is not None:
             complexity = edge_complexity(edge, static.strong_radius)
-            edge_dist = edge_ray_distance(edge.astype(bool))
         if static.use_label and label is not None:
             label_dist = label_boundary_distance(label)
         if static.state == RunState.REFINE_INIT and static.use_detail:
@@ -482,7 +551,9 @@ def run_pass(
             complexity=complexity,
             ransac_threshold=dyn.ransac_threshold,
             depth_range=dyn.depth_max - dyn.depth_min,
-            use_limit=static.use_limit)
+            use_limit=static.use_limit,
+            label=label if static.use_label else None,
+            label_dist=label_dist)
         weak = jnp.where((weak == PixelState.WEAK) & ~anchors.reliable,
                          PixelState.UNKNOWN, weak).astype(jnp.int8)
 
@@ -496,7 +567,8 @@ def run_pass(
         for color in (0, 1):
             st = _propagate_color_strong(
                 st, color, it, k_it, ctx, ctx_pks[color], ref_cam, src_cams,
-                static, dyn, xs, ys, rx, ry, ray, parity)
+                static, dyn, xs, ys, rx, ry, ray, parity,
+                edge=edge, edge_dist=edge_dist)
         if use_apd:
             fit_plane, new_radius = ransac_fit_plane(
                 anchors, st.plane, st.weak, ref_cam,

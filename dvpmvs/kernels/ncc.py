@@ -388,7 +388,8 @@ def _fused_eligible(ctx: CostContext) -> bool:
 
 def ncc_cost_batch(ctx: CostContext, planes: jnp.ndarray,
                    view_mask: Optional[jnp.ndarray] = None,
-                   parity=None) -> jnp.ndarray:
+                   parity=None,
+                   plane_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """planes [K, H', W', 4] -> costs [K, H', W', V].
 
     With the fused Pallas backend all K planes are evaluated in ONE kernel
@@ -401,5 +402,6 @@ def ncc_cost_batch(ctx: CostContext, planes: jnp.ndarray,
     if _fused_eligible(ctx):
         from .ncc_fused import fused_cost_from_ctx
         return fused_cost_from_ctx(ctx, planes, parity=parity,
-                                   view_mask=view_mask)
+                                   view_mask=view_mask,
+                                   plane_mask=plane_mask)
     return jax.lax.map(lambda p: ncc_cost(ctx, p), planes)

@@ -63,6 +63,17 @@ _K_MIN_VAR = 1e-5
 
 _TAP_AXIS = np.array([-1.0, -0.6, -0.2, 0.2, 0.6, 1.0], np.float32)
 
+# Taps per fori_loop iteration: unrolling several independent taps per
+# dynamic loop step lets Mosaic overlap their (serially dependent) gather
+# chains without the code-size/compile-time blowup of a full static unroll.
+TAP_UNROLL = 6
+
+def _tap_grid():
+    gx, gy = np.meshgrid(_TAP_AXIS, _TAP_AXIS)
+    return np.stack([gy.ravel(), gx.ravel()], axis=-1)   # [T, 2] (di, dj) rows
+
+_TAP_GRID = _tap_grid()
+
 
 def tap_axis_offsets() -> np.ndarray:
     """[36, 2] tap offsets for radius 1 (scale by the window radius)."""
@@ -71,7 +82,7 @@ def tap_axis_offsets() -> np.ndarray:
 
 
 def _make_fused_kernel(B, Vc, T, H_true, W_true, radius,
-                       parity, per_pixel_radius, use_mask):
+                       parity, per_pixel_radius, use_mask, use_pmask):
     """Kernel factory.
 
     Grid (Hq//8, Wq//128) over the (possibly checkerboard-packed) pixel
@@ -92,6 +103,9 @@ def _make_fused_kernel(B, Vc, T, H_true, W_true, radius,
     def kernel(*refs):
         if use_mask:
             mask_ref = refs[0]
+            refs = refs[1:]
+        if use_pmask:
+            pmask_ref = refs[0]
             refs = refs[1:]
         (cam_ref, mats_ref, taps_ref, q_ref, w_ref, wref_ref, sums_ref,
          rad_ref, quads_ref, out_ref) = refs
@@ -167,8 +181,9 @@ def _make_fused_kernel(B, Vc, T, H_true, W_true, radius,
                 hy = base1 + di * cxx1 + dj * cyy1
                 hz = base2 + di * cxx2 + dj * cyy2
                 hz = jnp.where(jnp.abs(hz) < 1e-12, 1e-12, hz)
-                px = jnp.clip(hx / hz, 0.0, W_true - 1.0)
-                py = jnp.clip(hy / hz, 0.0, H_true - 1.0)
+                rz = 1.0 / hz
+                px = jnp.clip(hx * rz, 0.0, W_true - 1.0)
+                py = jnp.clip(hy * rz, 0.0, H_true - 1.0)
                 x0f = jnp.floor(px)
                 y0f = jnp.floor(py)
                 fx = px - x0f
@@ -245,8 +260,15 @@ def _make_fused_kernel(B, Vc, T, H_true, W_true, radius,
                         s3 + wref_ref[t] * src_t)
 
             zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            unroll = TAP_UNROLL if T % TAP_UNROLL == 0 else 1
+
+            def chunk_body(tc, moms):
+                for u in range(unroll):
+                    moms = tap_body(tc * unroll + u, moms)
+                return moms
+
             s1, s2, s3 = jax.lax.fori_loop(
-                0, T, tap_body, (zeros, zeros, zeros))
+                0, T // unroll, chunk_body, (zeros, zeros, zeros))
 
             # center in-view test (tap offset (0, 0))
             pxc = base0 / czc
@@ -267,8 +289,22 @@ def _make_fused_kernel(B, Vc, T, H_true, W_true, radius,
         for v in range(Vc):
             def write_view(v=v):
                 def b_body(b, _):
-                    out_ref[pl.ds(b, 1), pl.ds(v, 1)] = (
-                        bv_cost(b, v)[None, None])
+                    if use_pmask:
+                        pbit = (pmask_ref[pid_i, pid_j] >> b) & 1
+
+                        @pl.when(pbit == 1)
+                        def _():
+                            out_ref[pl.ds(b, 1), pl.ds(v, 1)] = (
+                                bv_cost(b, v)[None, None])
+
+                        @pl.when(pbit == 0)
+                        def _():
+                            out_ref[pl.ds(b, 1), pl.ds(v, 1)] = jnp.full(
+                                (1, 1, TILE_H, TILE_W), COST_MAX,
+                                jnp.float32)
+                    else:
+                        out_ref[pl.ds(b, 1), pl.ds(v, 1)] = (
+                            bv_cost(b, v)[None, None])
                     return 0
                 jax.lax.fori_loop(0, B, b_body, 0)
 
@@ -313,6 +349,7 @@ def fused_ncc_costs(
     radius_map: jnp.ndarray | None = None,   # [H', W'] per-pixel radius
     parity=None,                  # None dense; 0/1 checkerboard-packed
     view_mask: jnp.ndarray | None = None,   # [Gi, Gj] int32 per-tile bitmask
+    plane_mask: jnp.ndarray | None = None,  # [Gi, Gj] int32 per-tile B-bits
     view_chunk: int = 4,
     interpret: bool = False,
 ) -> jnp.ndarray:                 # [B, H', W', V]
@@ -348,6 +385,7 @@ def fused_ncc_costs(
 
     grid = (Hq // TILE_H, Wq // TILE_W)
     use_mask = view_mask is not None
+    use_pmask = plane_mask is not None
     taps = jnp.asarray(tap_axis_offsets())                   # [T, 2]
 
     def tile_spec(nlead):
@@ -367,7 +405,7 @@ def fused_ncc_costs(
         Vc = min(view_chunk, V - v0)
         kern = _make_fused_kernel(
             B, Vc, T, H, W, float(radius), parity, per_pixel_radius,
-            use_mask)
+            use_mask, use_pmask)
         cam = jnp.concatenate([
             jnp.asarray(cam_scalars, jnp.float32),
             jnp.asarray(src_wh[v0:v0 + Vc], jnp.float32).reshape(-1)])
@@ -378,6 +416,9 @@ def fused_ncc_costs(
                quads_p[v0:v0 + Vc]]
         in_specs = [smem, smem, smem, q_spec, tile_spec(T), tile_spec(T),
                     tile_spec(3), rad_spec, full]
+        if use_pmask:
+            ins = [plane_mask.astype(jnp.int32)] + ins
+            in_specs = [smem] + in_specs
         if use_mask:
             vm = jax.lax.shift_right_logical(
                 view_mask.astype(jnp.int32), v0)
@@ -408,6 +449,7 @@ def plane_to_q(plane: jnp.ndarray) -> jnp.ndarray:
 def fused_cost_from_ctx(ctx, planes: jnp.ndarray,
                         parity=None,
                         view_mask: jnp.ndarray | None = None,
+                        plane_mask: jnp.ndarray | None = None,
                         interpret: bool = False) -> jnp.ndarray:
     """ncc_cost_batch-compatible entry: planes [B, H', W', 4] -> costs
     [B, H', W', V] on the evaluation grid (dense, or checkerboard-packed
@@ -422,5 +464,5 @@ def fused_cost_from_ctx(ctx, planes: jnp.ndarray,
         ctx.packed_quads, ctx.M, ctx.b, cam, ctx.src_wh,
         radius=float(ctx.strong_radius),
         radius_map=ctx.radius if ctx.has_radius_map else None,
-        parity=parity, view_mask=view_mask,
+        parity=parity, view_mask=view_mask, plane_mask=plane_mask,
         interpret=interpret)

@@ -22,6 +22,7 @@ Deviations from the reference (SURVEY §2.5-class quirks, intentionally fixed):
 
 from __future__ import annotations
 
+import math
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -79,36 +80,45 @@ def _in_bounds_mask(H: int, W: int, dx: int, dy: int) -> jnp.ndarray:
     return ((xs + dx >= 0) & (xs + dx < W) & (ys + dy >= 0) & (ys + dy < H))
 
 
+def _extended_offsets(offsets: List[Tuple[int, int]], ext_round: int
+                      ) -> List[Tuple[int, int]]:
+    """Offsets of extension round ``ext_round`` (0..2).
+
+    Far rays push their base 10*round further out (ExtendedUpFarPropagation,
+    APD.cu:1392: 5 + 2*round*5 rows); V-sweeps push both axes by 8*round
+    (ExtendedLeftUpPropagation, APD.cu:1624-1625).  Round 0 therefore
+    re-scans the initial offsets (and almost never replaces: the re-scan's
+    minimum cannot beat the already-selected one strictly).
+    """
+    push = (10 if len(offsets) == 5 else 8) * ext_round
+    return [(x + int(np.sign(x)) * push, y + int(np.sign(y)) * push)
+            for (x, y) in offsets]
+
+
 def select_candidates(
     plane: jnp.ndarray,        # [H, W, 4]
     cost: jnp.ndarray,         # [H, W]
     ray: jnp.ndarray,          # [H, W, 3] normalized per-pixel ref ray
     strong_ok: jnp.ndarray | None = None,   # [H, W] propagation sources mask
     extend_round: int = -1,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pre-select the best candidate plane per direction by cost-map scan.
 
-    Returns (cand_planes [8, H, W, 4], flags [8, H, W]).  ``strong_ok``
-    restricts propagation *sources* (the weak pass only accepts anchors that
-    are STRONG; the strong pass accepts any pixel, as the reference does).
-    ``extend_round`` >= 0 shifts the far-ray bases by 10*(round+1) px
-    (extended propagation).
+    Returns (cand_planes [8, H, W, 4], flags [8, H, W], map_costs
+    [8, H, W] — the selected sample's *cost-map* value, which extension
+    rounds compare against).  ``strong_ok`` restricts propagation *sources*
+    (the weak pass only accepts anchors that are STRONG; the strong pass
+    accepts any pixel, as the reference does).  ``extend_round`` >= 0
+    selects that extension round's pushed offsets (APD.cu:1385-1895); the
+    base sample then also gets no facing test, like the initial base.
     """
     H, W = cost.shape
     cand_planes = []
     flags = []
+    map_costs = []
     for d, offsets in enumerate(DIRECTIONS):
         if extend_round >= 0:
-            if len(offsets) != 5:
-                # diagonal groups extend along both axes (reference uses the
-                # same +10px push on its V-sweeps' bases)
-                push = 10 * (extend_round + 1)
-                offsets = [(x + int(np.sign(x)) * push, y + int(np.sign(y)) * push)
-                           for (x, y) in offsets]
-            else:
-                push = 10 * (extend_round + 1)
-                offsets = [(x + int(np.sign(x)) * push, y + int(np.sign(y)) * push)
-                           for (x, y) in offsets]
+            offsets = _extended_offsets(offsets, extend_round)
         bx, by = offsets[0]
         base_ok = _in_bounds_mask(H, W, bx, by)
         if strong_ok is not None:
@@ -127,13 +137,161 @@ def select_candidates(
             best_plane = jnp.where(better[..., None], pl, best_plane)
         cand_planes.append(best_plane)
         flags.append(base_ok)
-    return jnp.stack(cand_planes), jnp.stack(flags)
+        map_costs.append(best_cost)
+    return jnp.stack(cand_planes), jnp.stack(flags), jnp.stack(map_costs)
+
+
+# ---------------------------------------------------------------------------
+# Edge-adaptive strong propagation (the use_edge branch, APD.cu:2038-2140).
+# This is the reference's DEFAULT strong-propagation path (use_edge is true in
+# main.h and never cleared): per-direction step count/length adapt to the
+# distance-to-nearest-edge along that direction, and non-edge pixels also run
+# a fixed short-range (11 x 2) scan whose candidate competes with the
+# adaptive one by per-view good/bad cost counts (decided in the engine, where
+# the NCC vectors of both candidates are available).
+# ---------------------------------------------------------------------------
+
+# Direction order of the edge branch (APD.cu:2039) == weak._RAY_DIRS ==
+# edge_ray_distance's output order.
+EDGE_DIRS = ((0, -1), (0, 1), (-1, 0), (1, 0),
+             (-1, -1), (1, 1), (-1, 1), (1, -1))
+
+# Per-direction extra pixel nudge (APD.cu:2070-2072: dirs with index > 4 get
+# +dx on odd indices / +dy on even; dir 4 gets none — reference quirk).
+_EDGE_NUDGE = ((0, 0), (0, 0), (0, 0), (0, 0),
+               (0, 0), (1, 0), (0, 1), (1, 0))
+
+
+def edge_step_lengths(H: int, W: int, diag: bool) -> list:
+    """Statically possible step_len values for an image extent.
+
+    step_num = clamp(dist/2, 11, 22), step_len = max(int(dist/step_num), 2)
+    (axis dirs rounded down to even), dist <= max(H, W)/30 steps (axis) or
+    /30/sqrt2 (diagonal), so the reachable set is tiny and static.
+    """
+    cap = max(H, W) / 30.0
+    if diag:
+        cap /= math.sqrt(2.0)
+    lmax = max(2, int(cap / 22))
+    if diag:
+        return list(range(2, lmax + 1))
+    return [2] + [l for l in range(4, lmax + 1, 2)]
+
+
+def select_candidates_edge(
+    plane: jnp.ndarray,        # [H, W, 4]
+    cost: jnp.ndarray,         # [H, W]
+    edge: jnp.ndarray,         # [H, W] bool edge mask
+    edge_dist: jnp.ndarray,    # [8, H, W] euclidean dist to edge (weak.py)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Edge-adaptive candidate pre-selection (APD.cu:2038-2140).
+
+    Returns (cand1 [8, H, W, 4], flags1 [8, H, W], cand2, flags2,
+    differs [8, H, W]): the adaptive-scan candidate, the fixed short-range
+    scan candidate (non-edge pixels only in the reference; computed for all,
+    the engine gates by ``edge``), and whether the two picked different
+    source pixels (where they coincide the engine can reuse candidate 1's
+    NCC vector instead of evaluating candidate 2).
+    """
+    H, W = cost.shape
+    sq2 = math.sqrt(2.0)
+    max_d = max(H, W) / 30.0
+    flat_plane = plane.reshape(-1, 4)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    base_idx = ys * W + xs
+
+    cand1, flags1, cand2, flags2, differs = [], [], [], [], []
+    for d, (dx, dy) in enumerate(EDGE_DIRS):
+        diag = d >= 4
+        fx, fy = _EDGE_NUDGE[d]
+        # per-pixel steps-to-edge along this ray (APD.cu:2054-2062)
+        dist = edge_dist[d] / (sq2 if diag else 1.0)
+        nohit = edge_dist[d] >= 1e8
+        cap = max_d / (sq2 if diag else 1.0)
+        dist = jnp.where(nohit | (dist >= max_d), cap, dist)
+        dist = jnp.where(edge, 22.0, dist)
+        step_num = jnp.clip((dist * 0.5).astype(jnp.int32), 11, 22)
+        step_len = jnp.maximum(
+            (dist / step_num.astype(jnp.float32)).astype(jnp.int32), 2)
+        if not diag:
+            step_len = step_len - step_len % 2
+
+        best_c = jnp.full((H, W), jnp.inf)
+        best_off = jnp.zeros((H, W), jnp.int32)
+        got1 = jnp.zeros((H, W), bool)
+        short_c = jnp.full((H, W), jnp.inf)
+        short_off = jnp.zeros((H, W), jnp.int32)
+        got2 = jnp.zeros((H, W), bool)
+        for L in edge_step_lengths(H, W, diag):
+            sel_L = step_len == L
+            for s in range(22):
+                ox = 5 * dx + s * L * dx + fx
+                oy = 5 * dy + s * L * dy + fy
+                inb = _in_bounds_mask(H, W, ox, oy)
+                c = shift_map(cost, ox, oy)
+                off = jnp.int32(oy * W + ox)
+                ok = sel_L & inb & (s < step_num)
+                take = ok & (c < best_c)
+                best_c = jnp.where(take, c, best_c)
+                best_off = jnp.where(take, off, best_off)
+                got1 = got1 | ok
+                if L == 2 and s < 11:
+                    take2 = inb & (c < short_c)
+                    short_c = jnp.where(take2, c, short_c)
+                    short_off = jnp.where(take2, off, short_off)
+                    got2 = got2 | inb
+        idx1 = jnp.clip(base_idx + best_off, 0, H * W - 1)
+        idx2 = jnp.clip(base_idx + short_off, 0, H * W - 1)
+        cand1.append(flat_plane[idx1])
+        cand2.append(flat_plane[idx2])
+        flags1.append(got1)
+        flags2.append(got2)
+        differs.append(got1 & got2 & (idx1 != idx2))
+    return (jnp.stack(cand1), jnp.stack(flags1),
+            jnp.stack(cand2), jnp.stack(flags2), jnp.stack(differs))
+
+
+def edge_candidate_merge(
+    edge: jnp.ndarray,          # [H, W] (or packed) bool
+    flags1, flags2, differs,    # [8, H, W]
+    ca1: jnp.ndarray,           # [8, H, W, V] NCC vectors of candidate 1
+    ca2: jnp.ndarray,           # [8, H, W, V] NCC vectors of candidate 2
+    cand1: jnp.ndarray,         # [8, H, W, 4]
+    cand2: jnp.ndarray,
+    iter_idx,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Good/bad-view-count comparison of the two scans (APD.cu:2090-2140).
+
+    Non-edge pixels replace the adaptive candidate with the short-range one
+    when the latter has strictly more views under the good threshold, or
+    equal good and fewer views over the bad threshold — or when the adaptive
+    scan found nothing.  Returns (cost_array [8, H, W, V], cand [8, H, W, 4],
+    flags [8, H, W]).
+    """
+    it = jnp.asarray(iter_idx, jnp.float32)
+    good_thr = 0.8 * jnp.exp(it * it / -90.0)
+    # where the two scans picked the same pixel the engine fed ca1 for both
+    ca2 = jnp.where(differs[..., None], ca2, ca1)
+    good1 = jnp.sum(ca1 < good_thr, axis=-1)
+    bad1 = jnp.sum(ca1 > 1.2, axis=-1)
+    good2 = jnp.sum(ca2 < good_thr, axis=-1)
+    bad2 = jnp.sum(ca2 > 1.2, axis=-1)
+    replace = (~edge[None]) & flags2 & (
+        ~flags1 | (good2 > good1) | ((good2 == good1) & (bad2 < bad1)))
+    cost_array = jnp.where(replace[..., None], ca2, ca1)
+    cand = jnp.where(replace[..., None], cand2, cand1)
+    flags = flags1 | (flags2 & ~edge[None])
+    return cost_array, cand, flags
 
 
 def judge_extend(iter_idx: jnp.ndarray, ext_round: int,
                  cost_array: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray:
-    """Per-(dir, pixel) gate for extended propagation (APD.cu JudgeExtend):
-    needs >=1 view below 0.8*exp(-iter^2 (3-ext)/90) and <=2 views above 1.2.
+    """Per-(dir, pixel) gate for extended propagation (JudgeExtend,
+    APD.cu:1872-1896): extend while the direction's candidate is still BAD —
+    i.e. NOT (>=1 view below 0.8*exp(-iter^2 (3-ext)/90) and <=2 views above
+    1.2).  A direction that turns good stops extending permanently (the
+    caller must AND gates cumulatively, mirroring symbol_eight_orientations).
 
     cost_array [8, H, W, V], flags [8, H, W] -> bool [8, H, W].
     """
@@ -141,7 +299,7 @@ def judge_extend(iter_idx: jnp.ndarray, ext_round: int,
     good_thr = 0.8 * jnp.exp(it * it * (3.0 - ext_round) / -90.0)
     good = jnp.sum(cost_array < good_thr, axis=-1)
     bad = jnp.sum(cost_array > 1.2, axis=-1)
-    return flags & (good >= 1) & (bad <= 2)
+    return flags & ~((good >= 1) & (bad <= 2))
 
 
 def neighbor_prior(sel_views: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray:
@@ -208,6 +366,26 @@ def weighted_cost(cost_vec: jnp.ndarray, view_weights: jnp.ndarray,
     num = jnp.sum(cost_vec * view_weights, axis=-1)
     return jnp.where(weight_norm > 0, num / jnp.maximum(weight_norm, 1e-30),
                      COST_MAX)
+
+
+def tile_plane_mask(active: jnp.ndarray) -> jnp.ndarray:
+    """Per-tile active-plane bitmask for the fused kernel's plane skipping.
+
+    active [B, H', W'] bool (plane b needed at pixel): bit b of out[gi, gj]
+    is set iff any pixel of the 8x128 tile needs plane b.  Pixels whose bit
+    is off read cost_max for that plane — callers must substitute a fallback
+    vector there (they only consult masked planes where active).
+    """
+    B, H, W = active.shape
+    assert B <= 31, "int32 tile bitmask holds at most 31 planes"
+    gi = -(-H // 8)
+    gj = -(-W // 128)
+    act = jnp.pad(active, ((0, 0), (0, gi * 8 - H), (0, gj * 128 - W)))
+    act = jnp.any(act.reshape(B, gi, 8, gj, 128), axis=(2, 4))
+    bits = jnp.sum(
+        jnp.where(act, (1 << jnp.arange(B))[:, None, None], 0),
+        axis=0, dtype=jnp.int32)
+    return bits
 
 
 def tile_view_mask(weights: jnp.ndarray) -> jnp.ndarray:

@@ -348,11 +348,24 @@ def find_anchors(
     depth_range=1.0,
     use_limit: bool = True,
     ransac_iters: int = 50,
+    label: Optional[jnp.ndarray] = None,        # [H, W] int labels
+    label_dist: Optional[jnp.ndarray] = None,   # [8, H, W] boundary dist
 ) -> AnchorResult:
     """Directional STRONG-anchor search + RANSAC reliability vote.
 
     Returns the best NUM_ANCHORS anchors per weak pixel (sorted by distance
     to the RANSAC plane) and the reliability mask.
+
+    With ``label``/``label_dist`` (use_label), labeled weak pixels gain
+    extra in-region anchor candidates along the 8 rays, clamped to the
+    label-boundary distance, and RANSAC prefers "strong" planes whose fit
+    normal agrees with the anchors' (APD.cu:3461-3539, 3629-3631).  The
+    reference's 16-direction walk collapses under its own integer-truncated
+    directions and MIN/MAX-inverted step allocation to axis/diagonal rays
+    with fixed step counts; here each ray contributes two representative
+    samples (at ~1/2 and ~1 of the boundary distance, nearest-strong
+    redirected, deduplicated implicitly by the distance-ranked anchor
+    selection).
     """
     H, W = weak.shape
     strong = weak == PixelState.STRONG
@@ -434,6 +447,44 @@ def find_anchors(
         anchor_x.append(ax)
         anchor_y.append(ay)
         anchor_ok.append(found)
+
+    # --- label-boundary in-region candidates (APD.cu:3461-3539)
+    if label is not None and label_dist is not None:
+        sq2 = math.sqrt(2.0)
+        lab_ok = label > 0
+        margin = 6                      # reference min_margin (APD.cu:3347)
+        ladder = [s for s in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64,
+                              96, 128, 192, 256) if s < max(H, W)]
+        for d_idx, (ux, uy) in enumerate(_RAY_DIRS):
+            steps_b = label_dist[d_idx] / (sq2 if d_idx >= 4 else 1.0)
+            has_b = (label_dist[d_idx] < 1e8) & lab_ok
+            for frac in (0.5, 1.0):
+                reach = steps_b * frac
+                ax = jnp.full((H, W), -1, jnp.int32)
+                ay = jnp.full((H, W), -1, jnp.int32)
+                found = jnp.zeros((H, W), bool)
+                for s in ladder:
+                    dx, dy = ux * s, uy * s
+                    if abs(dx) >= W or abs(dy) >= H:
+                        break
+                    sxp = xs + dx
+                    syp = ys + dy
+                    inb = ((sxp >= margin) & (sxp < W - margin)
+                           & (syp >= margin) & (syp < H - margin))
+                    oks = inb & (s <= reach) & has_b
+                    cand_strong = oks & shift_map(strong, dx, dy)
+                    red_x = shift_map(ns_coords[..., 0], dx, dy)
+                    red_y = shift_map(ns_coords[..., 1], dx, dy)
+                    red_ok = oks & shift_map(ns_valid, dx, dy)
+                    cx = jnp.where(cand_strong, sxp, red_x)
+                    cy = jnp.where(cand_strong, syp, red_y)
+                    take = cand_strong | red_ok   # keep the farthest valid
+                    ax = jnp.where(take, cx, ax)
+                    ay = jnp.where(take, cy, ay)
+                    found = found | take
+                anchor_x.append(ax)
+                anchor_y.append(ay)
+                anchor_ok.append(found)
 
     cand_x = jnp.stack(anchor_x)          # [D, H, W]
     cand_y = jnp.stack(anchor_y)
@@ -526,6 +577,15 @@ def find_anchors(
         center_dist = jnp.abs(cd - center_depth)
         score = jnp.where(ok, n_in.astype(jnp.float32) * 1e6
                           - jnp.minimum(center_dist, 1e5), -jnp.inf)
+        if label is not None:
+            # "strong plane" preference (APD.cu:3629-3652): for labeled
+            # pixels a fit whose normal disagrees with every triad anchor's
+            # normal is a weak plane; strong planes always outrank it
+            weak_fit = ((label > 0)
+                        & (jnp.abs(jnp.sum(AN * n, -1)) < 0.9)
+                        & (jnp.abs(jnp.sum(BN * n, -1)) < 0.9)
+                        & (jnp.abs(jnp.sum(CN * n, -1)) < 0.9))
+            score = score + jnp.where(ok & ~weak_fit, 1e12, 0.0)
         better = score > best_score
         plane4 = jnp.concatenate([n, w[..., None]], axis=-1)
         best_plane4 = jnp.where(better[..., None], plane4, best_plane4)

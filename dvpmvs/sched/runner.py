@@ -96,6 +96,13 @@ class SceneRunner:
         any_img = next(iter(scene.images.values()))
         self.rounds = num_rounds_for(any_img.shape[1], any_img.shape[0],
                                      self.config.max_base_size)
+        # The reference runs round_num - 1 rounds (main.cpp:450 stops at
+        # i < round_num - 1), i.e. the finest processed scale is 1/2; a
+        # full-resolution extra round is opt-in (config.full_res_round).
+        # Scenes small enough for round_num == 1 still run one round.
+        self.rounds_to_run = max(self.rounds - 1, 1)
+        if self.config.full_res_round and self.rounds > 1:
+            self.rounds_to_run = self.rounds
 
     # ------------------------------------------------------------------
     def _log(self, msg):
@@ -183,9 +190,10 @@ class SceneRunner:
                 sds.append(rescale_nearest(d, (H, W)))
             kwargs["src_depths"] = jnp.asarray(np.stack(sds))
 
-        if static.use_APD and (static.use_edge or static.use_label):
-            edge, label = self._edges_for(rid, scale_size,
-                                          need_label=static.use_label)
+        if static.use_edge or (static.use_APD and static.use_label):
+            edge, label = self._edges_for(
+                rid, scale_size,
+                need_label=static.use_APD and static.use_label)
             if edge is not None:
                 kwargs["edge"] = jnp.asarray(
                     rescale_nearest(edge, (H, W)) > 0)
@@ -228,7 +236,7 @@ class SceneRunner:
             if start_iter:
                 self._log(f"resuming at pass iteration {start_iter}")
         with trace(profile_dir):
-            for i in range(R):
+            for i in range(self.rounds_to_run):
                 for pass_idx in range(1 + self.config.geometric_passes):
                     if self.iteration < start_iter:
                         self.iteration += 1
@@ -242,7 +250,12 @@ class SceneRunner:
     def run_schedule_pass(self, round_idx: int, pass_idx: int, key) -> None:
         """One (round, pass) step of the schedule over this runner's
         problems.  Exposed so distributed runners can interleave passes with
-        cross-host synchronization."""
+        cross-host synchronization.
+
+        With ``config.mesh_views > 1`` the problems run as ONE view-sharded
+        batch over a ``views`` device mesh (dist.sharding Phase A); the
+        serial per-problem loop is the single-device fallback.
+        """
         R = self.rounds
         scale_size = 2 ** (R - 1 - round_idx)
         static, dyn = round_pass_params(
@@ -250,16 +263,167 @@ class SceneRunner:
         t0 = time.time()
         span = f"round{round_idx}/pass{pass_idx}"
         with self.metrics.timed(span), annotate(span):
-            for problem in self.scene.problems:
-                k = jax.random.fold_in(
-                    jax.random.fold_in(key, self.iteration),
-                    problem.ref_image_id)
-                self.run_view_pass(problem, static, dyn, scale_size, k)
-                self.metrics.count("view_passes")
+            if self.config.mesh_views > 1:
+                self.run_pass_batched(self.scene.problems, static, dyn,
+                                      scale_size, key)
+            else:
+                for problem in self.scene.problems:
+                    k = jax.random.fold_in(
+                        jax.random.fold_in(key, self.iteration),
+                        problem.ref_image_id)
+                    self.run_view_pass(problem, static, dyn, scale_size, k)
+                    self.metrics.count("view_passes")
         self._log(f"round {round_idx} pass {pass_idx} "
                   f"(scale 1/{scale_size}, state={static.state.name}) "
                   f"done in {time.time() - t0:.1f}s")
         self.iteration += 1
+
+    # ------------------------------------------------------------------
+    def run_pass_batched(self, problems, static: PMStatic, dyn: PMDynamic,
+                         scale_size: int, key) -> None:
+        """All problems of one pass as a single view-sharded batch.
+
+        Problems are padded to a common (H, W, V) — exact for the usual
+        uniform-resolution scenes (sources are padded to the ref extent by
+        the reference too, APD.cpp:1071-1082); the batch axis is padded to a
+        multiple of the mesh size by repeating problems (dropped at unbatch).
+        """
+        from ..dist.mesh import make_mesh
+        from ..dist.sharding import make_batched_pass, shard_problems
+
+        n_dev = min(self.config.mesh_views, len(jax.devices()))
+        B0 = len(problems)
+        reps = -(-B0 // n_dev) * n_dev
+        plist = [problems[i % B0] for i in range(reps)]
+
+        scaled = [self._scaled_view(p.ref_image_id, scale_size)
+                  for p in plist]
+        H = max(im.shape[0] for im, _ in scaled)
+        W = max(im.shape[1] for im, _ in scaled)
+        V = max(len(p.src_image_ids) for p in plist)
+
+        def pad_hw(a, fill=0.0):
+            out = np.full((H, W) + a.shape[2:], fill, a.dtype)
+            out[:a.shape[0], :a.shape[1]] = a
+            return out
+
+        ref_imgs, ref_cams, src_imgs, src_cams = [], [], [], []
+        init_pw, init_sel, init_weak, radius, src_depths = [], [], [], [], []
+        edges, labels = [], []
+        dyns, keys = [], []
+        need_state = static.state != RunState.FIRST_INIT
+        want_edges = static.use_edge or (static.use_APD and static.use_label)
+        for p, (rimg, rcam) in zip(plist, scaled):
+            h, w = rimg.shape
+            ref_imgs.append(pad_hw(rimg))
+            ref_cams.append(rcam)
+            srcs = list(p.src_image_ids)
+            pad_ids = srcs + [srcs[-1]] * (V - len(srcs))
+            simgs = []
+            for sid in pad_ids[:len(srcs)]:
+                s, _ = self._scaled_view(sid, scale_size)
+                canvas = np.zeros((H, W), np.float32)
+                canvas[:min(H, s.shape[0]), :min(W, s.shape[1])] = \
+                    s[:min(H, s.shape[0]), :min(W, s.shape[1])]
+                simgs.append(canvas)
+            simgs += [np.zeros((H, W), np.float32)] * (V - len(srcs))
+            src_imgs.append(np.stack(simgs))
+            src_cams.append(stack_cameras(
+                [self._scaled_view(sid, scale_size)[1] for sid in pad_ids]))
+            dyns.append(dyn.replace(
+                depth_min=jnp.asarray(float(rcam.depth_min) * 0.6, jnp.float32),
+                depth_max=jnp.asarray(float(rcam.depth_max) * 1.2, jnp.float32)))
+            keys.append(jax.random.fold_in(
+                jax.random.fold_in(key, self.iteration), p.ref_image_id))
+
+            st = self.state.get(p.ref_image_id)
+            if need_state:
+                assert st is not None
+                d = rescale_nearest(st.depth, (h, w))
+                nrm = rescale_nearest(st.normal_world, (h, w))
+                init_pw.append(pad_hw(
+                    np.concatenate([nrm, d[..., None]], -1)))
+                sel = rescale_nearest(st.sel_views.astype(np.uint8), (h, w))
+                sel = np.pad(sel, ((0, 0), (0, 0),
+                                   (0, V - sel.shape[-1])))
+                init_sel.append(pad_hw(sel.astype(bool)))
+                init_weak.append(pad_hw(
+                    rescale_nearest(st.weak, (h, w)),
+                    fill=PixelState.UNKNOWN))
+                if static.use_radius:
+                    radius.append(pad_hw(rescale_nearest(st.radius, (h, w))))
+            elif p.ref_image_id in self.mono_planes:
+                mp = self.mono_planes[p.ref_image_id]
+                if mp.shape[:2] != (h, w):
+                    mp = np.stack([rescale_nearest(mp[..., i], (h, w))
+                                   for i in range(4)], -1)
+                init_pw.append(pad_hw(mp))
+            if static.geom_consistency:
+                sds = []
+                for sid in pad_ids:
+                    sd = self.state.get(sid)
+                    dd = (rescale_nearest(sd.depth, (h, w))
+                          if sd is not None else np.zeros((h, w), np.float32))
+                    sds.append(pad_hw(dd))
+                src_depths.append(np.stack(sds))
+            if want_edges:
+                eg, lb = self._edges_for(
+                    p.ref_image_id, scale_size,
+                    need_label=static.use_APD and static.use_label)
+                if eg is not None:
+                    edges.append(pad_hw(rescale_nearest(eg, (h, w)) > 0))
+                if lb is not None:
+                    labels.append(pad_hw(
+                        rescale_nearest(lb, (h, w)).astype(np.int32)))
+
+        mesh = make_mesh(n_dev) if n_dev > 1 else None
+        ck = (static, n_dev)
+        fn = self._pass_fns.get(ck)
+        if fn is None:
+            fn = make_batched_pass(static, mesh)
+            self._pass_fns[ck] = fn
+
+        stackc = lambda cs: jax.tree.map(lambda *xs: jnp.stack(xs), *cs)
+        args = (jnp.asarray(np.stack(ref_imgs)),
+                jnp.asarray(np.stack(src_imgs)),
+                stackc(ref_cams), stackc(src_cams), stackc(dyns),
+                jnp.stack(keys))
+        kw = {}
+        if init_pw and len(init_pw) == reps:
+            kw["init_plane_world"] = jnp.asarray(np.stack(init_pw))
+        if init_sel:
+            kw["init_sel"] = jnp.asarray(np.stack(init_sel))
+            kw["init_weak"] = jnp.asarray(np.stack(init_weak))
+        if radius:
+            kw["radius_map"] = jnp.asarray(np.stack(radius))
+        if src_depths:
+            kw["src_depths"] = jnp.asarray(np.stack(src_depths))
+        if edges:
+            kw["edge"] = jnp.asarray(np.stack(edges))
+        if labels:
+            kw["label"] = jnp.asarray(np.stack(labels))
+        if mesh is not None:
+            args = shard_problems(args, mesh)
+            kw = {k: shard_problems(v, mesh) for k, v in kw.items()}
+        out = fn(*args, **kw)
+
+        seen = set()
+        for i, p in enumerate(plist):
+            rid = p.ref_image_id
+            if rid in seen:
+                continue
+            seen.add(rid)
+            h, w = scaled[i][0].shape
+            v = len(p.src_image_ids)
+            sel = np.asarray(out.sel_views[i][:h, :w, :v])
+            sel = visibility_cleanup(sel, scale_size)
+            self.state[rid] = ViewState(
+                depth=np.asarray(out.depth[i][:h, :w]),
+                normal_world=np.asarray(out.normal_world[i][:h, :w]),
+                weak=np.asarray(out.weak[i][:h, :w]),
+                sel_views=sel,
+                radius=np.asarray(out.radius[i][:h, :w]))
+            self.metrics.count("view_passes")
 
     def write_benchmark_outputs(self, out_root: Path, view_ids=None) -> None:
         """Final-pass benchmark-format outputs per view (the reference's
