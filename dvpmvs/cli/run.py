@@ -73,6 +73,43 @@ def _cmd_scene(args) -> int:
     return 0
 
 
+def _cmd_prior(args) -> int:
+    """Generate ``dep/%08d.dmb`` monocular-depth priors for a scene by
+    running Depth-Anything-V2 natively (JAX/Flax ViT) — the maps the
+    reference expects precomputed on disk (APD.cpp:1219-1223)."""
+    import numpy as np
+
+    from ..io import load_scene
+    from ..io.dmb import write_depth_dmb
+    from ..priors.depth_anything import (DAConfig, infer_relative_depth,
+                                         init_params)
+
+    scene = load_scene(args.dense_folder, max_src_views=1)
+    if args.checkpoint:
+        from ..priors.convert import load_torch_checkpoint
+
+        params, cfg = load_torch_checkpoint(args.checkpoint)
+        import jax
+
+        params = jax.tree.map(lambda a: a, params)
+    else:
+        import jax
+
+        print("[dvpmvs] WARNING: no --checkpoint given; using randomly "
+              "initialized DA-V2 weights (shape/pipeline testing only)")
+        cfg = DAConfig.tiny_test() if args.tiny else DAConfig.vits()
+        params = init_params(jax.random.PRNGKey(args.seed), cfg)
+
+    out_dir = Path(args.dense_folder) / "dep"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for vid in scene.image_ids:
+        img = scene.images[vid]
+        dep = infer_relative_depth(params, np.asarray(img, np.float32), cfg)
+        write_depth_dmb(out_dir / f"{vid:08d}.dmb", dep.astype(np.float32))
+        print(f"[dvpmvs] dep/{vid:08d}.dmb written")
+    return 0
+
+
 def _cmd_convert(args) -> int:
     from ..io.colmap import convert_colmap
 
@@ -129,6 +166,15 @@ def main(argv=None) -> int:
                     help="dump per-pass timings to <output>/metrics.json")
     ps.add_argument("--seed", type=int, default=0)
     ps.set_defaults(fn=_cmd_scene)
+
+    pp = sub.add_parser("prior", help="run DA-V2 -> dep/%08d.dmb maps")
+    pp.add_argument("dense_folder")
+    pp.add_argument("--checkpoint", default=None,
+                    help="released DA-V2 .pth (or .npz) to convert and run")
+    pp.add_argument("--seed", type=int, default=0)
+    pp.add_argument("--tiny", action="store_true",
+                    help="tiny random model (pipeline tests)")
+    pp.set_defaults(fn=_cmd_prior)
 
     pc = sub.add_parser("convert", help="COLMAP model -> MVSNet layout")
     pc.add_argument("dense_folder")

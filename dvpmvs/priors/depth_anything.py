@@ -49,6 +49,36 @@ class DAConfig:
                    dpt_features=16, dpt_out_channels=(8, 8, 16, 16))
 
 
+def _bicubic_resize(x, out_hw):
+    """Non-antialiased bicubic resize, half-pixel convention (torch
+    F.interpolate(mode="bicubic", align_corners=False, antialias=False) —
+    what DINOv2 uses for pos-embed interpolation).  x [B, H, W, C]."""
+    B, H, W, C = x.shape
+    nh, nw = out_hw
+    if (H, W) == (nh, nw):
+        return x
+
+    a = -0.75
+
+    def axis_weights(n_in, n_out):
+        src = (jnp.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+        i0 = jnp.floor(src).astype(jnp.int32)
+        f = src - i0
+        d = [f + 1.0, f, 1.0 - f, 2.0 - f]
+        w = [a * d[0] ** 3 - 5 * a * d[0] ** 2 + 8 * a * d[0] - 4 * a,
+             (a + 2) * d[1] ** 3 - (a + 3) * d[1] ** 2 + 1,
+             (a + 2) * d[2] ** 3 - (a + 3) * d[2] ** 2 + 1,
+             a * d[3] ** 3 - 5 * a * d[3] ** 2 + 8 * a * d[3] - 4 * a]
+        idx = [jnp.clip(i0 + k - 1, 0, n_in - 1) for k in range(4)]
+        return idx, w
+
+    iy, wy = axis_weights(H, nh)
+    ix, wx = axis_weights(W, nw)
+    rows = sum(x[:, iy[k]] * wy[k][None, :, None, None] for k in range(4))
+    return sum(rows[:, :, ix[k]] * wx[k][None, None, :, None]
+               for k in range(4))
+
+
 class Attention(nn.Module):
     dim: int
     num_heads: int
@@ -109,8 +139,7 @@ class DinoViT(nn.Module):
                          (1, base * base + 1, cfg.embed_dim))
         pos_cls, pos_grid = pos[:, :1], pos[:, 1:]
         pos_grid = pos_grid.reshape(1, base, base, cfg.embed_dim)
-        pos_grid = jax.image.resize(pos_grid, (1, hh, ww, cfg.embed_dim),
-                                    "bilinear")
+        pos_grid = _bicubic_resize(pos_grid.astype(jnp.float32), (hh, ww))
         pos_grid = pos_grid.reshape(1, hh * ww, cfg.embed_dim)
         x = x + pos_grid
         cls_t = jnp.tile(cls_tok + pos_cls, (B, 1, 1))
@@ -122,15 +151,41 @@ class DinoViT(nn.Module):
                       name=f"block{i}")(x)
             if i in cfg.out_indices:
                 outs[i] = x
-        x_final = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        # DA-V2 takes intermediate layers through the FINAL LayerNorm
+        # (DINOv2 get_intermediate_layers(..., norm=True))
+        final_norm = nn.LayerNorm(dtype=jnp.float32, name="norm")
         feats = []
         for i in cfg.out_indices:
-            t = outs.get(i, x_final)
+            t = final_norm(outs.get(i, x))
             feats.append(t[:, 1:])           # drop CLS
         return feats, (hh, ww)
 
 
+def _resize_ac(x, out_hw):
+    """Bilinear resize with align_corners=True (torch F.interpolate
+    semantics, which jax.image.resize's half-pixel convention does not
+    match).  x [B, H, W, C] float."""
+    B, H, W, C = x.shape
+    nh, nw = out_hw
+    if (H, W) == (nh, nw):
+        return x
+    ys = jnp.linspace(0.0, H - 1.0, nh)
+    xs = jnp.linspace(0.0, W - 1.0, nw)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    fy = (ys - y0)[None, :, None, None]
+    fx = (xs - x0)[None, None, :, None]
+    g = lambda yi, xi: x[:, yi][:, :, xi]
+    top = g(y0, x0) * (1 - fx) + g(y0, x1) * fx
+    bot = g(y1, x0) * (1 - fx) + g(y1, x1) * fx
+    return top * (1 - fy) + bot * fy
+
+
 class ResidualConvUnit(nn.Module):
+    """DA-V2 ResidualConvUnit: relu-conv-relu-conv + skip."""
+
     features: int
 
     @nn.compact
@@ -142,55 +197,76 @@ class ResidualConvUnit(nn.Module):
         return x + h
 
 
+class FeatureFusionBlock(nn.Module):
+    """DA-V2 FeatureFusionBlock: optional skip through resConfUnit1, then
+    resConfUnit2, align-corners upsample, 1x1 out_conv."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, skip=None, out_hw=None):
+        if skip is not None:
+            x = x + ResidualConvUnit(self.features, name="resConfUnit1")(skip)
+        x = ResidualConvUnit(self.features, name="resConfUnit2")(x)
+        B, h, w, C = x.shape
+        nh, nw = out_hw if out_hw is not None else (h * 2, w * 2)
+        x = _resize_ac(x.astype(jnp.float32), (nh, nw)).astype(jnp.bfloat16)
+        return nn.Conv(self.features, (1, 1), dtype=jnp.bfloat16,
+                       name="out_conv")(x)
+
+
 class DPTHead(nn.Module):
+    """Mirror of DA-V2's DPTHead (projects + learned resize layers +
+    scratch layer_rn convs + refinenet fusion + output convs) so released
+    checkpoints convert 1:1 (see convert_torch_checkpoint)."""
+
     cfg: DAConfig
 
     @nn.compact
     def __call__(self, feats, grid_hw, out_hw):
         cfg = self.cfg
         hh, ww = grid_hw
-        # reassemble: project + rescale to 4 pyramid levels (x4, x2, x1, /2)
+        f = cfg.dpt_features
         levels = []
-        scales = (4, 2, 1, 0.5)
-        for i, (tok, oc, s) in enumerate(zip(feats, cfg.dpt_out_channels,
-                                             scales)):
+        for i, (tok, oc) in enumerate(zip(feats, cfg.dpt_out_channels)):
             B, N, C = tok.shape
-            f = tok.reshape(B, hh, ww, C)
-            f = nn.Conv(oc, (1, 1), dtype=jnp.bfloat16,
-                        name=f"project{i}")(f)
-            nh, nw = int(hh * s), int(ww * s)
-            f = jax.image.resize(f.astype(jnp.float32), (B, nh, nw, oc),
-                                 "bilinear").astype(jnp.bfloat16)
-            f = nn.Conv(cfg.dpt_features, (3, 3), dtype=jnp.bfloat16,
-                        use_bias=False, name=f"scratch{i}")(f)
-            levels.append(f)
+            x = tok.reshape(B, hh, ww, C)
+            x = nn.Conv(oc, (1, 1), dtype=jnp.bfloat16,
+                        name=f"project{i}")(x)
+            if i == 0:
+                x = nn.ConvTranspose(oc, (4, 4), strides=(4, 4),
+                                     dtype=jnp.bfloat16, name="resize0")(x)
+            elif i == 1:
+                x = nn.ConvTranspose(oc, (2, 2), strides=(2, 2),
+                                     dtype=jnp.bfloat16, name="resize1")(x)
+            elif i == 3:
+                # torch pads (1, 1); SAME would pad (0, 1) at stride 2
+                x = nn.Conv(oc, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)),
+                            dtype=jnp.bfloat16, name="resize3")(x)
+            x = nn.Conv(f, (3, 3), dtype=jnp.bfloat16, use_bias=False,
+                        name=f"layer{i + 1}_rn")(x)
+            levels.append(x)
 
-        # fusion top-down (each stage resizes to the NEXT level's extent so
-        # odd grid sizes stay consistent)
-        x = levels[3]
-        for i in (3, 2, 1, 0):
-            if i != 3:
-                x = x + levels[i]
-            x = ResidualConvUnit(cfg.dpt_features, name=f"rcu{i}")(x)
-            B, h, w, C = x.shape
-            if i > 0:
-                nh, nw = levels[i - 1].shape[1:3]
-            else:
-                nh, nw = h * 2, w * 2
-            x = jax.image.resize(x.astype(jnp.float32), (B, nh, nw, C),
-                                 "bilinear").astype(jnp.bfloat16)
-            x = nn.Conv(cfg.dpt_features, (1, 1), dtype=jnp.bfloat16,
-                        name=f"fuse_out{i}")(x)
+        l1, l2, l3, l4 = levels
+        p4 = FeatureFusionBlock(f, name="refinenet4")(
+            l4, out_hw=l3.shape[1:3])
+        p3 = FeatureFusionBlock(f, name="refinenet3")(
+            p4, l3, out_hw=l2.shape[1:3])
+        p2 = FeatureFusionBlock(f, name="refinenet2")(
+            p3, l2, out_hw=l1.shape[1:3])
+        p1 = FeatureFusionBlock(f, name="refinenet1")(p2, l1)
 
-        x = nn.Conv(cfg.dpt_features // 2, (3, 3), dtype=jnp.bfloat16,
-                    name="head1")(x)
-        B, h, w, C = x.shape
-        x = jax.image.resize(x.astype(jnp.float32), (B, *out_hw, C),
-                             "bilinear").astype(jnp.bfloat16)
-        x = nn.Conv(32, (3, 3), dtype=jnp.bfloat16, name="head2")(x)
+        x = nn.Conv(f // 2, (3, 3), dtype=jnp.bfloat16,
+                    name="output_conv1")(p1)
+        x = _resize_ac(x.astype(jnp.float32),
+                       (hh * cfg.patch_size, ww * cfg.patch_size))
+        x = x.astype(jnp.bfloat16)
+        x = nn.Conv(32, (3, 3), dtype=jnp.bfloat16, name="output_conv2a")(x)
         x = nn.relu(x)
-        x = nn.Conv(1, (1, 1), dtype=jnp.bfloat16, name="head3")(x)
-        return nn.relu(x.astype(jnp.float32))[..., 0]
+        x = nn.Conv(1, (1, 1), dtype=jnp.bfloat16, name="output_conv2b")(x)
+        x = nn.relu(x.astype(jnp.float32))[..., 0]
+        return _resize_ac(x[..., None], out_hw)[..., 0]
 
 
 class DepthAnythingV2(nn.Module):

@@ -134,3 +134,26 @@ def test_metrics_recorded(fused, tmp_path):
     runner.metrics.dump(tmp_path / "metrics.json")
     import json
     assert json.loads((tmp_path / "metrics.json").read_text())["counters"]
+
+
+def test_mono_prior_end_to_end(tmp_path):
+    """`dvpmvs prior` writes dep/ maps (DA-V2 run natively) and the scene
+    pipeline's FIRST_INIT consumes them with sfm/ alignment
+    (APD.cpp:1210-1424)."""
+    from dvpmvs.cli.run import main as cli_main
+
+    scene_s = make_scene(num_views=3, height=32, width=40, seed=4)
+    folder = write_scene_dir(scene_s, tmp_path / "dense", with_sfm=True,
+                             sfm_points=80)
+    # random-weight DA-V2 (no checkpoint available offline): validates the
+    # native inference + dep/ writing path
+    assert cli_main(["prior", str(folder), "--tiny"]) == 0
+    for v in range(3):
+        assert (folder / "dep" / f"{v:08d}.dmb").exists()
+
+    # FIRST_INIT with the generated prior: mono_prior_planes must parse the
+    # dep/ + sfm/ pair and produce a usable init (pipeline runs through)
+    assert cli_main(["scene", str(folder), "--mono-prior",
+                     "--iterations", "1", "--geometric-passes", "1",
+                     "--backend", "exact", "--max-src-views", "2"]) == 0
+    assert (folder / "APD" / "APD.ply").exists()
