@@ -4,6 +4,9 @@ Runs a full FIRST_INIT PatchMatch pass (random init + 3 checkerboard
 iterations + median/reclassify/refine post-passes) on a synthetic scene at
 the reference's working resolution (pyramid base <= 800 px, ~10 source
 views — BASELINE.md config 1 scale) and reports depth-maps/sec/chip.
+The pass runs the reference's DEFAULT strong-propagation path: the
+edge-adaptive dual scan (use_edge=true in main.h; edges computed per round
+by main.cpp:480), with a Canny edge map of the scene.
 
 vs_baseline anchors to an estimated 0.33 view-passes/sec for the reference
 CUDA engine on its published dev hardware (Titan RTX): the repo publishes no
@@ -48,10 +51,15 @@ def main():
     dyn = PMDynamic.create(depth_min=float(ref_cam.depth_min),
                            depth_max=float(ref_cam.depth_max))
 
-    fn = jax.jit(lambda ri, si, rc, sc, dd, kk: run_pass(
-        ri, si, rc, sc, static, dd, kk))
+    from dvpmvs.priors.edges import edge_segment
+    edge = jnp.asarray(
+        edge_segment(0, np.asarray(scene.images[0]), mode=0,
+                     use_canny=True) > 0)
+
+    fn = jax.jit(lambda ri, si, rc, sc, dd, kk, eg: run_pass(
+        ri, si, rc, sc, static, dd, kk, edge=eg))
     args = (jnp.asarray(scene.images[0]), src_imgs, ref_cam, src_cams, dyn,
-            jax.random.PRNGKey(0))
+            jax.random.PRNGKey(0), edge)
 
     out = fn(*args)
     out.depth.block_until_ready()          # compile + warm

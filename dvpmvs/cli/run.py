@@ -58,10 +58,12 @@ def _cmd_scene(args) -> int:
                     scene.cameras[p.ref_image_id],
                     target_hw=scene.images[p.ref_image_id].shape)
 
-    runner = SceneRunner(scene, cfg, base_static=base,
-                         mono_planes=mono_planes)
     out_dir = Path(args.output or (Path(args.dense_folder) / "APD"))
     out_dir.mkdir(parents=True, exist_ok=True)
+    cfg.output_folder = str(out_dir)
+    cfg.show_medium_result = args.show_medium_result
+    runner = SceneRunner(scene, cfg, base_static=base,
+                         mono_planes=mono_planes)
     runner.run(checkpoint_dir=out_dir if (args.checkpoint or args.resume)
                else None,
                resume=args.resume, profile_dir=args.profile_dir)
@@ -162,6 +164,9 @@ def main(argv=None) -> int:
                     help="resume a checkpointed run from its progress cursor")
     ps.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace here")
+    ps.add_argument("--show-medium-result", action="store_true",
+                    help="write per-pass depth/normal/weak jpgs "
+                         "(main.cpp:396-403)")
     ps.add_argument("--metrics", action="store_true",
                     help="dump per-pass timings to <output>/metrics.json")
     ps.add_argument("--seed", type=int, default=0)

@@ -69,6 +69,10 @@ class PMStatic:
     extend_rounds: int = 3          # extended far-propagation rounds (0..3);
                                     # only the non-edge ACMM branch uses them
                                     # (APD.cu:2386-2460)
+    exact_deformable: bool = False  # reference-exact per-anchor sparse-patch
+                                    # weak cost (gather-bound oracle; the
+                                    # default is the warp-field approximation
+                                    # in kernels/deformable.py)
     # NCC backend: "exact" = per-center-plane window warp via XLA gathers
     # (reference-faithful, gather-bound); "pallas" = banded-gather TPU kernel
     # (reference-faithful, fast); "warp" = warp-once approximation (fastest,

@@ -41,7 +41,8 @@ import jax.numpy as jnp
 from ..config import PMDynamic, PMStatic, PixelState, RunState
 from ..geometry.camera import Camera
 from ..geometry.transforms import depth_from_plane, plane_from_world
-from ..kernels.deformable import anchor_cost_term, deformable_cost
+from ..kernels.deformable import (anchor_cost_term, deformable_cost,
+                                  deformable_cost_exact)
 from ..kernels.geom import GeomContext, build_geom_context, geom_consistency_cost
 from ..kernels.median import median_filter_depth
 from ..kernels.ncc import (COST_MAX, CostContext, build_cost_context,
@@ -296,6 +297,7 @@ def _propagate_color_weak(
     color: int, it, key, ctx, ctx_pk, ctx_yzl, ctx_yzl_pk, gctx,
     ref_img, ref_cam, src_cams,
     static: PMStatic, dyn: PMDynamic, xs, ys, rx, ry, parity,
+    patch_off=None,
 ):
     """One weak half-iteration (CheckerboardPropagationWeak, APD.cu:2739-3089).
 
@@ -312,16 +314,24 @@ def _propagate_color_weak(
     k_view, k_refine = jax.random.split(
         jax.random.fold_in(jax.random.fold_in(key, color), 7))
 
-    use_pk = ctx_pk is not None
+    exact = static.exact_deformable and patch_off is not None
+    use_pk = ctx_pk is not None and not exact
     pk = (lambda a: pack_parity(a, color)) if use_pk else (lambda a: a)
     par = color if use_pk else None
     ctx_c = ctx_pk if use_pk else ctx
     ctx_yzl_c = ctx_yzl_pk if use_pk else ctx_yzl
 
-    at_full = anchor_cost_term(ctx_yzl, state.plane, anchors,
-                               state.sel_views, ref_img, dyn.sigma_color)
-    at = AnchorCostTerm(cost=pk(at_full.cost),
-                        has_anchors=pk(at_full.has_anchors))
+    if exact:
+        # reference-faithful per-anchor sparse-patch cost (oracle mode)
+        deform = lambda pl_: deformable_cost_exact(
+            ctx_yzl, pl_, anchors, patch_off, state.sel_views, ref_img,
+            dyn.sigma_color)
+    else:
+        at_full = anchor_cost_term(ctx_yzl, state.plane, anchors,
+                                   state.sel_views, ref_img, dyn.sigma_color)
+        at = AnchorCostTerm(cost=pk(at_full.cost),
+                            has_anchors=pk(at_full.has_anchors))
+        deform = lambda pl_: deformable_cost(ctx_yzl_c, pl_, at, parity=par)
 
     # candidates = the first 8 anchors' planes (APD.cu:2768-2779), gathered
     # for the active color's pixels only
@@ -331,9 +341,7 @@ def _propagate_color_weak(
     cand_planes = state.plane.reshape(-1, 4)[idx8]         # [8, H', W', 4]
     flags = jax.vmap(pk)(anchors.valid[:8])
 
-    cost_array = jax.lax.map(
-        lambda pl_: deformable_cost(ctx_yzl_c, pl_, at, parity=par),
-        cand_planes)
+    cost_array = jax.lax.map(deform, cand_planes)
 
     # anchor-based view-selection prior (APD.cu:2788-2801)
     sel_a8 = state.sel_views.reshape(-1, V)[idx8]          # [8, H', W', V]
@@ -361,7 +369,7 @@ def _propagate_color_weak(
     final_costs = weighted_cost(cost_array, view_weights[None],
                                 weight_norm[None])
 
-    cur_vec = deformable_cost(ctx_yzl_c, plane_cur, at, parity=par)
+    cur_vec = deform(plane_cur)
     if gctx is not None:
         cur_vec = cur_vec + dyn.geom_factor * g10[8]
     cost0 = weighted_cost(cur_vec, view_weights, weight_norm)
@@ -379,7 +387,7 @@ def _propagate_color_weak(
 
     # fit-plane test (PlaneHypothesisRefinementWeak, APD.cu:1920-1950)
     has_fit = jnp.any(fit_c[..., :3] != 0, axis=-1)
-    fit_vec = deformable_cost(ctx_yzl_c, fit_c, at, parity=par)
+    fit_vec = deform(fit_c)
     if gctx is not None:
         fit_vec = fit_vec + dyn.geom_factor * g10[9]
     fit_cost = weighted_cost(fit_vec, view_weights, weight_norm)
@@ -394,9 +402,7 @@ def _propagate_color_weak(
     ref_planes = refinement_planes(
         k_refine, plane_now[..., :3], cur_depth, sel_now, rx_c, ry_c,
         xs_c, ys_c, ref_cam, src_cams, dyn.depth_min, dyn.depth_max)
-    ref_vec = jax.lax.map(
-        lambda pl_: deformable_cost(ctx_yzl_c, pl_, at, parity=par),
-        ref_planes)
+    ref_vec = jax.lax.map(deform, ref_planes)
     if gctx is not None:
         ref_vec = ref_vec + dyn.geom_factor * _geom_batch(
             gctx, ref_planes, xs_c, ys_c, ref_cam, static.cost_backend,
@@ -543,7 +549,12 @@ def run_pass(
         cost, sel_views = _initial_cost_refine(ctx, plane, sel_views)
 
     # anchor generation (GenNeighbours + NeigbourUpdate)
+    patch_off = None
     if use_apd:
+        if static.exact_deformable:
+            from ..kernels.weak import patch_candidates
+            patch_off = patch_candidates(ref_img, sel_views, dyn.sigma_color,
+                                         weak_radius=static.weak_radius)
         anchors = find_anchors(
             weak, plane, ref_cam, k_weak,
             rotate_time=static.rotate_time,
@@ -583,7 +594,7 @@ def run_pass(
                     st, anchors, fit_plane, color, it, k_it, ctx,
                     ctx_pks[color], ctx_yzl, ctx_yzl_pks[color],
                     gctx, ref_img, ref_cam, src_cams, static, dyn,
-                    xs, ys, rx, ry, parity)
+                    xs, ys, rx, ry, parity, patch_off=patch_off)
         return st
 
     state = jax.lax.fori_loop(0, static.max_iterations, iteration, state)

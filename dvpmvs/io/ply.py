@@ -54,3 +54,23 @@ def read_ply(path: _PathLike) -> Tuple[np.ndarray, np.ndarray]:
             f.read(), dtype=[("xyz", np.float32, 3), ("bgr", np.uint8, 3)],
             count=n)
     return rec["xyz"].copy(), rec["bgr"].copy()
+
+
+def export_depth_point_cloud(path: _PathLike, depth: np.ndarray,
+                             camera, image_rgb: np.ndarray,
+                             depth_min: float, depth_max: float) -> None:
+    """Single-view depth-map -> PLY debug dump (ExportDepthImagePointCloud,
+    APD.cpp:2281-2314): every pixel with depth in [depth_min, depth_max]
+    back-projects to world with its image color."""
+    H, W = depth.shape
+    ys, xs = np.mgrid[0:H, 0:W]
+    ok = np.isfinite(depth) & (depth >= depth_min) & (depth <= depth_max)
+    z = depth[ok]
+    rx = (xs[ok] - float(camera.cx)) / float(camera.fx)
+    ry = (ys[ok] - float(camera.cy)) / float(camera.fy)
+    pc = np.stack([rx * z, ry * z, z], -1)
+    R = np.asarray(camera.R)
+    t = np.asarray(camera.t)
+    pw = (pc - t[None]) @ R
+    rgb = image_rgb[ok]
+    write_ply(path, pw.astype(np.float32), rgb[:, ::-1].astype(np.uint8))

@@ -156,3 +156,140 @@ def deformable_cost(
     return jnp.where(anchor_term.has_anchors,
                      0.25 * center + 0.75 * anchor_term.cost,
                      center)
+
+
+def deformable_cost_exact(
+    ctx_yzl: CostContext,
+    plane_candidate: jnp.ndarray,    # [H, W, 4] full-res candidate field
+    anchors: AnchorResult,
+    patch_off: jnp.ndarray,          # [V, 8, H, W, 2] patch_candidates()
+    sel_views: jnp.ndarray,          # [H, W, V]
+    ref_img: jnp.ndarray,
+    sigma_color,
+) -> jnp.ndarray:
+    """EXACT ``ComputeBilateralNCCNew`` (APD.cu:835-1021): per-anchor 9-tap
+    sparse-patch NCC with the anchor's per-view candidate offsets, all warped
+    through the CANDIDATE plane's homography.
+
+    This is the reference-faithful oracle for the warp-field approximation in
+    :func:`anchor_cost_term`/:func:`deformable_cost` — gather-bound
+    (A x 9 x V arbitrary samples per pixel), intended for accuracy
+    quantification on small scenes (tests/test_deformable_exact.py), not the
+    production path.  Faithfully reproduced quirks: visible-but-unselected
+    anchors contribute cost_max (the reference's 0-weight NaN collapses to
+    cost_max through CUDA fminf), zero-offset slots fall back to the +-5
+    grid, slot 8 is the anchor center.
+    """
+    H, W = ref_img.shape
+    V = ctx_yzl.num_views
+    A = anchors.coords.shape[0]
+    sigma_color = jnp.asarray(sigma_color, jnp.float32)
+
+    q = plane_candidate[..., :3] / jnp.where(
+        jnp.abs(plane_candidate[..., 3:4]) < 1e-12, 1e-12,
+        plane_candidate[..., 3:4])                     # [H, W, 3]
+
+    def warp(v, tx, ty):
+        """Source position of ref pixel (tx, ty) (int grids) under the
+        candidate plane of the EVALUATED pixel."""
+        tidx = ty * W + tx
+        rx = ctx_yzl.rx.reshape(-1)[tidx]
+        ry = ctx_yzl.ry.reshape(-1)[tidx]
+        M = ctx_yzl.M[v]
+        b = ctx_yzl.b[v]
+        s = q[..., 0] * rx + q[..., 1] * ry + q[..., 2]
+        hx = M[0, 0] * rx + M[0, 1] * ry + M[0, 2] - b[0] * s
+        hy = M[1, 0] * rx + M[1, 1] * ry + M[1, 2] - b[1] * s
+        hz = M[2, 0] * rx + M[2, 1] * ry + M[2, 2] - b[2] * s
+        hz = jnp.where(jnp.abs(hz) < 1e-12, 1e-12, hz)
+        return hx / hz, hy / hz, hz > 0
+
+    def sample(img, px, py):
+        x0 = jnp.clip(jnp.floor(px), 0, W - 1).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor(py), 0, H - 1).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, W - 1)
+        y1 = jnp.minimum(y0 + 1, H - 1)
+        fxs = jnp.clip(px, 0, W - 1) - x0
+        fys = jnp.clip(py, 0, H - 1) - y0
+        g = lambda yy, xx: img.reshape(-1)[yy * W + xx]
+        top = g(y0, x0) * (1 - fxs) + g(y0, x1) * fxs
+        bot = g(y1, x0) * (1 - fxs) + g(y1, x1) * fxs
+        return top * (1 - fys) + bot * fys
+
+    fallback = jnp.asarray(
+        [(-5, -5), (-5, 0), (-5, 5), (0, -5), (0, 5),
+         (5, -5), (5, 0), (5, 5), (0, 0)], jnp.int32)   # slot 8 = center
+
+    ref_center = ref_img                                 # [H, W] at p
+    src_whx = ctx_yzl.src_wh[:, 0]
+    src_why = ctx_yzl.src_wh[:, 1]
+
+    def anchor_view_cost(a, v):
+        ax = jnp.clip(anchors.coords[a, ..., 0], 0, W - 1)
+        ay = jnp.clip(anchors.coords[a, ..., 1], 0, H - 1)
+        valid = anchors.valid[a]
+        aidx = ay * W + ax
+        sees = sel_views.reshape(-1, V)[aidx][..., v]
+        # anchor-center warp in-view test (per the evaluated pixel's plane)
+        sx, sy, front = warp(v, ax, ay)
+        in_view = ((sx >= 0) & (sx < src_whx[v]) & (sy >= 0)
+                   & (sy < src_why[v]) & front)
+
+        sums = [jnp.zeros((H, W), jnp.float32) for _ in range(6)]
+        for k in range(9):
+            if k < 8:
+                off = patch_off[v, k].reshape(-1, 2)[aidx]   # [H, W, 2]
+                oi = off[..., 0].astype(jnp.int32)
+                oj = off[..., 1].astype(jnp.int32)
+                empty = (oi == 0) & (oj == 0)
+                oi = jnp.where(empty, fallback[k, 0], oi)
+                oj = jnp.where(empty, fallback[k, 1], oj)
+            else:
+                oi = jnp.zeros((H, W), jnp.int32)
+                oj = jnp.zeros((H, W), jnp.int32)
+            tx = jnp.clip(ax + oi, 0, W - 1)
+            ty = jnp.clip(ay + oj, 0, H - 1)
+            ref_pix = ref_img.reshape(-1)[ty * W + tx]
+            px, py, _ = warp(v, tx, ty)
+            src_pix = sample(ctx_yzl.src_imgs[v], px, py)
+            wgt = jnp.exp(-jnp.abs(ref_pix - ref_center)
+                          / (2.0 * sigma_color * sigma_color))
+            sums[0] += wgt * ref_pix
+            sums[1] += wgt * ref_pix * ref_pix
+            sums[2] += wgt * src_pix
+            sums[3] += wgt * src_pix * src_pix
+            sums[4] += wgt * ref_pix * src_pix
+            sums[5] += wgt
+        inv = 1.0 / jnp.maximum(sums[5], 1e-30)
+        m_r, m_r2 = sums[0] * inv, sums[1] * inv
+        m_s, m_s2 = sums[2] * inv, sums[3] * inv
+        m_rs = sums[4] * inv
+        var_r = m_r2 - m_r * m_r
+        var_s = m_s2 - m_s * m_s
+        cov = m_rs - m_r * m_s
+        ncc = cov / jnp.maximum(jnp.sqrt(jnp.maximum(var_r * var_s, 0.0)),
+                                1e-30)
+        c = jnp.clip(1.0 - ncc, 0.0, COST_MAX)
+        c = jnp.where((var_r < _K_MIN_VAR) | (var_s < _K_MIN_VAR),
+                      COST_MAX, c)
+        # reference counting: in-view anchors count (unselected ones as
+        # cost_max via the NaN quirk); OOV anchors count cost_max only when
+        # they see the view; everything else is skipped
+        counted = valid & (in_view | sees)
+        contrib = jnp.where(in_view & sees, c, COST_MAX)
+        return jnp.where(counted, contrib, 0.0), counted
+
+    center = ncc_cost(ctx_yzl, plane_candidate)          # [H, W, V]
+
+    out = []
+    for v in range(V):
+        acc = jnp.zeros((H, W), jnp.float32)
+        cnt = jnp.zeros((H, W), jnp.int32)
+        for a in range(A):
+            c, ok = anchor_view_cost(a, v)
+            acc += c
+            cnt += ok
+        strong = jnp.minimum(acc / jnp.maximum(cnt, 1), COST_MAX)
+        cv = center[..., v]
+        out.append(jnp.where(cnt > 0, 0.25 * cv + 0.75 * strong, cv))
+    return jnp.stack(out, axis=-1)

@@ -66,7 +66,7 @@ _TAP_AXIS = np.array([-1.0, -0.6, -0.2, 0.2, 0.6, 1.0], np.float32)
 # Taps per fori_loop iteration: unrolling several independent taps per
 # dynamic loop step lets Mosaic overlap their (serially dependent) gather
 # chains without the code-size/compile-time blowup of a full static unroll.
-TAP_UNROLL = 3
+TAP_UNROLL = 2
 
 def _tap_grid():
     gx, gy = np.meshgrid(_TAP_AXIS, _TAP_AXIS)

@@ -276,7 +276,26 @@ class SceneRunner:
         self._log(f"round {round_idx} pass {pass_idx} "
                   f"(scale 1/{scale_size}, state={static.state.name}) "
                   f"done in {time.time() - t0:.1f}s")
+        if self.config.show_medium_result and self.config.output_folder:
+            self.write_medium_results(Path(self.config.output_folder))
         self.iteration += 1
+
+    def write_medium_results(self, out_root: Path) -> None:
+        """Per-pass depth/normal/weak visualizations (main.cpp:396-403,
+        show_medium_result): <out>/<view>/{depths,normals,weak}_<iter>.jpg"""
+        from ..utils.viz import (write_depth_viz, write_normal_viz,
+                                 write_weak_viz)
+
+        for rid, st in self.state.items():
+            d = out_root / format_index(rid)
+            d.mkdir(parents=True, exist_ok=True)
+            cam = self.scene.cameras[rid]
+            write_depth_viz(d / f"depths_{self.iteration}.jpg", st.depth,
+                            float(cam.depth_min) * 0.6,
+                            float(cam.depth_max) * 1.2)
+            write_normal_viz(d / f"normals_{self.iteration}.jpg",
+                             st.normal_world)
+            write_weak_viz(d / f"weak_{self.iteration}.jpg", st.weak)
 
     # ------------------------------------------------------------------
     def run_pass_batched(self, problems, static: PMStatic, dyn: PMDynamic,
@@ -515,6 +534,25 @@ class SceneRunner:
         return int(meta["iteration"])
 
     # ------------------------------------------------------------------
+    def _load_blocks(self):
+        """Optional fusion block masks ``blocks/mask_<id>.jpg`` (ETH3D crops,
+        APD.cpp:1831-1859): pixels >= 128 participate in fusion."""
+        folder = Path(self.scene.dense_folder) / "blocks"
+        if not folder.exists():
+            return None
+        from PIL import Image
+
+        blocks = {}
+        for rid, st in self.state.items():
+            p = folder / f"mask_{rid}.jpg"
+            if not p.exists():
+                continue
+            m = np.asarray(Image.open(p).convert("L"))
+            if m.shape != st.depth.shape:
+                m = rescale_nearest(m, st.depth.shape)
+            blocks[rid] = m
+        return blocks or None
+
     def fusion_inputs(self):
         from ..fusion import FusionInputs
 
@@ -539,4 +577,5 @@ class SceneRunner:
             depths={r: s.depth for r, s in self.state.items()},
             normals={r: s.normal_world for r, s in self.state.items()},
             weaks={r: s.weak for r, s in self.state.items()},
-            problems=self.scene.problems)
+            problems=self.scene.problems,
+            blocks=self._load_blocks())
