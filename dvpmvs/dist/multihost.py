@@ -116,3 +116,60 @@ class MultiHostRunner(SceneRunner):
                 sel_views=np.stack([(bits >> v) & 1 for v in range(V)],
                                    axis=-1).astype(bool),
                 radius=read_bin_mat(d / "radius.bin").astype(np.float32))
+
+    # ------------------------------------------------------------------
+    # Collective (DCN) state exchange — the filesystem-free alternative:
+    # each host packs its owned views' post-pass state into one fixed-shape
+    # array and the hosts all-gather it (jax process_allgather rides
+    # ICI within a slice and DCN across slices).  Depth maps at the 800 px
+    # pyramid base are < 2 MB/view, so one gather per pass moves a few MB.
+    def exchange_state_collective(self) -> None:
+        if self._pc == 1:
+            return
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        from ..sched.runner import ViewState
+
+        owned = sorted(p.ref_image_id for p in self.scene.problems
+                       if p.ref_image_id in self.state)
+        max_owned = -(-len(self._all_problems) // self._pc)
+        any_st = self.state[owned[0]]
+        H, W = any_st.depth.shape
+        V = any_st.sel_views.shape[-1]
+        # channels: depth, nx, ny, nz, weak, selbits, radius  = 7 planes
+        pack = np.zeros((max_owned, 8, H, W), np.float32)
+        ids = np.full((max_owned,), -1, np.int32)
+        for i, rid in enumerate(owned):
+            st = self.state[rid]
+            ids[i] = rid
+            pack[i, 0] = st.depth
+            pack[i, 1:4] = np.moveaxis(st.normal_world, -1, 0)
+            pack[i, 4] = st.weak
+            bits = np.zeros((H, W), np.float32)
+            for v in range(st.sel_views.shape[-1]):
+                bits += st.sel_views[..., v].astype(np.float32) * (1 << v)
+            pack[i, 5] = bits
+            pack[i, 6] = st.radius
+        all_ids = np.asarray(multihost_utils.process_allgather(ids))
+        all_pack = np.asarray(multihost_utils.process_allgather(pack))
+        all_ids = all_ids.reshape(-1)
+        all_pack = all_pack.reshape(-1, 8, H, W)
+        owned_set = set(owned)
+        for rid, pk in zip(all_ids, all_pack):
+            if rid < 0 or int(rid) in owned_set:
+                continue
+            bits = pk[5].astype(np.int64)
+            self.state[int(rid)] = ViewState(
+                depth=pk[0],
+                normal_world=np.moveaxis(pk[1:4], 0, -1),
+                weak=pk[4].astype(np.int8),
+                sel_views=np.stack([(bits >> v) & 1 for v in range(V)],
+                                   -1).astype(bool),
+                radius=pk[6])
+
+    def run_schedule_pass(self, round_idx: int, pass_idx: int, key) -> None:
+        super().run_schedule_pass(round_idx, pass_idx, key)
+        if self._sync_dir is None:
+            # no shared filesystem: exchange state over the interconnect
+            self.exchange_state_collective()

@@ -218,7 +218,7 @@ def build_cost_context(
 
     packed = None
     if backend == "pallas":
-        from .ncc_pallas import pack_quads
+        from .ncc_fused import pack_quads
         packed = pack_quads(src_imgs)
 
     return CostContext(

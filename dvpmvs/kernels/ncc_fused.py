@@ -75,6 +75,20 @@ def _tap_grid():
 _TAP_GRID = _tap_grid()
 
 
+def pack_quads(src_imgs: jnp.ndarray) -> jnp.ndarray:
+    """[V, H, W] float 0..255 -> [V, H, W] int32 packed 2x2 quads.
+
+    quad[y, x] = i(y,x) | i(y,x+1)<<8 | i(y+1,x)<<16 | i(y+1,x+1)<<24
+    with edge clamping, so one gather at (floor(y), floor(x)) provides all
+    four bilinear corners.
+    """
+    q = jnp.clip(jnp.round(src_imgs), 0, 255).astype(jnp.int32)
+    right = jnp.concatenate([q[:, :, 1:], q[:, :, -1:]], axis=2)
+    down = jnp.concatenate([q[:, 1:, :], q[:, -1:, :]], axis=1)
+    downright = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
+    return q | (right << 8) | (down << 16) | (downright << 24)
+
+
 def tap_axis_offsets() -> np.ndarray:
     """[36, 2] tap offsets for radius 1 (scale by the window radius)."""
     gx, gy = np.meshgrid(_TAP_AXIS, _TAP_AXIS)

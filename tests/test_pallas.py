@@ -1,4 +1,4 @@
-"""Pallas NCC kernel vs the exact XLA path (interpret mode on CPU)."""
+"""Fused Pallas NCC kernel vs the exact XLA path (interpret mode on CPU)."""
 
 import jax
 import jax.numpy as jnp
@@ -8,7 +8,7 @@ import pytest
 from dvpmvs.geometry import stack_cameras
 from dvpmvs.geometry.transforms import dist_to_origin
 from dvpmvs.kernels.ncc import build_cost_context, ncc_cost
-from dvpmvs.kernels.ncc_pallas import ncc_cost_pallas, pack_quads
+from dvpmvs.kernels.ncc_fused import fused_cost_from_ctx, pack_quads
 from dvpmvs.utils.synthetic import make_scene
 
 
@@ -40,12 +40,13 @@ def test_pack_quads_layout():
     assert q[0, 2, 3] == 11 | (11 << 8) | (11 << 16) | (11 << 24)
 
 
-def test_pallas_matches_exact_interpret(setup):
+def test_fused_matches_exact_interpret(setup):
     ctx_e, ctx_p, plane = setup
-    for pl_ in (plane, plane.at[..., 3].mul(1.1), plane.at[..., 3].mul(1.4)):
-        ce = np.asarray(ncc_cost(ctx_e, pl_))
-        cp = np.asarray(ncc_cost_pallas(ctx_p, pl_, interpret=True))
-        diff = np.abs(ce - cp)
-        assert np.median(diff) < 0.01
-        # uint8 quad quantization bounds the worst-case deviation
-        assert (diff > 0.3).sum() == 0, diff.max()
+    planes = jnp.stack([plane, plane.at[..., 3].mul(1.1),
+                        plane.at[..., 3].mul(1.4)])
+    ce = np.stack([np.asarray(ncc_cost(ctx_e, pl_)) for pl_ in planes])
+    cp = np.asarray(fused_cost_from_ctx(ctx_p, planes, interpret=True))
+    diff = np.abs(ce - cp)
+    assert np.median(diff) < 0.01
+    # uint8 quad quantization bounds the worst-case deviation
+    assert (diff > 0.3).sum() == 0, diff.max()
