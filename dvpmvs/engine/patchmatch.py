@@ -326,12 +326,30 @@ def _propagate_color_weak(
         deform = lambda pl_: deformable_cost_exact(
             ctx_yzl, pl_, anchors, patch_off, state.sel_views, ref_img,
             dyn.sigma_color)
+        deform_slot = lambda pl_full, pl_c: deform(pl_c)
     else:
         at_full = anchor_cost_term(ctx_yzl, state.plane, anchors,
                                    state.sel_views, ref_img, dyn.sigma_color)
         at = AnchorCostTerm(cost=pk(at_full.cost),
                             has_anchors=pk(at_full.has_anchors))
         deform = lambda pl_: deformable_cost(ctx_yzl_c, pl_, at, parity=par)
+
+        def deform_slot(pl_full, pl_c):
+            """Slot cost with the candidate-DEPENDENT anchor term.
+
+            Anchors warped by the slot plane's own homography at the
+            evaluated pixel (ComputeBilateralNCCNew semantics) — used for
+            the current- and fit-plane slots, whose comparison drives weak
+            recovery in textureless regions; the 8 anchor-plane candidates
+            keep the shared approximation (see anchor_cost_term_for_plane).
+            """
+            from ..kernels.deformable import anchor_cost_term_for_plane
+            at_s = anchor_cost_term_for_plane(
+                ctx_yzl, pl_full, anchors, state.sel_views, ref_img,
+                dyn.sigma_color)
+            at_p = AnchorCostTerm(cost=pk(at_s.cost),
+                                  has_anchors=pk(at_s.has_anchors))
+            return deformable_cost(ctx_yzl_c, pl_c, at_p, parity=par)
 
     # candidates = the first 8 anchors' planes (APD.cu:2768-2779), gathered
     # for the active color's pixels only
@@ -369,7 +387,7 @@ def _propagate_color_weak(
     final_costs = weighted_cost(cost_array, view_weights[None],
                                 weight_norm[None])
 
-    cur_vec = deform(plane_cur)
+    cur_vec = deform_slot(state.plane, plane_cur)
     if gctx is not None:
         cur_vec = cur_vec + dyn.geom_factor * g10[8]
     cost0 = weighted_cost(cur_vec, view_weights, weight_norm)
@@ -387,7 +405,7 @@ def _propagate_color_weak(
 
     # fit-plane test (PlaneHypothesisRefinementWeak, APD.cu:1920-1950)
     has_fit = jnp.any(fit_c[..., :3] != 0, axis=-1)
-    fit_vec = deform(fit_c)
+    fit_vec = deform_slot(fit_plane, fit_c)
     if gctx is not None:
         fit_vec = fit_vec + dyn.geom_factor * g10[9]
     fit_cost = weighted_cost(fit_vec, view_weights, weight_norm)

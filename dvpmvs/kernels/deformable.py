@@ -142,6 +142,111 @@ def anchor_cost_term(
                           has_anchors=jnp.moveaxis(has, 0, -1))
 
 
+def anchor_cost_term_for_plane(
+    ctx: CostContext,
+    plane_field: jnp.ndarray,        # [H, W, 4] the SLOT's plane field
+    anchors: AnchorResult,
+    sel_views: jnp.ndarray,          # [H, W, V] bool
+    ref_img: jnp.ndarray,
+    sigma_color,
+) -> AnchorCostTerm:
+    """Candidate-dependent anchor term (exact homography semantics).
+
+    ``ComputeBilateralNCCNew`` (APD.cu:835-1021) warps each anchor patch by
+    the homography of the plane being EVALUATED at the weak pixel — the
+    candidate-plane dependence is what lets anchors discriminate hypotheses
+    where the center window is textureless (the paper's core mechanism).
+    :func:`anchor_cost_term` approximates this with the current field's warp
+    at the anchor, which is candidate-INDEPENDENT; this variant computes the
+    anchor-center sample under ``plane_field``'s homography taken at the
+    evaluated pixel, restoring discrimination at anchor-center (1-tap)
+    granularity.  Used for the current- and fit-plane slots (the recovery
+    path); candidate slots keep the shared approximation (cost: one
+    A x V-gather pass per slot).
+    """
+    H, W = ref_img.shape
+    V = ctx.num_views
+    q = plane_field[..., :3] / jnp.where(
+        jnp.abs(plane_field[..., 3:4]) < 1e-12, 1e-12,
+        plane_field[..., 3:4])                         # [H, W, 3]
+
+    ax = jnp.clip(anchors.coords[..., 0], 0, W - 1)    # [A, H, W]
+    ay = jnp.clip(anchors.coords[..., 1], 0, H - 1)
+    idx = ay * W + ax
+    # anchor rays are pure functions of the (integer) anchor coordinates
+    rax = (ax.astype(jnp.float32) - ctx.cam_cx) * ctx.inv_fx
+    ray_ = (ay.astype(jnp.float32) - ctx.cam_cy) * ctx.inv_fy
+    s_i = (q[None, ..., 0] * rax + q[None, ..., 1] * ray_
+           + q[None, ..., 2])                          # [A, H, W]
+
+    ref_a = ref_img.reshape(-1)[idx]                   # [A, H, W]
+    w_col = jnp.exp(-jnp.abs(ref_a - ref_img[None])
+                    / (2.0 * sigma_color * sigma_color))
+    valid = anchors.valid
+
+    src_list, inv_list = [], []
+    for v in range(V):
+        M = ctx.M[v]
+        b = ctx.b[v]
+        hx = M[0, 0] * rax + M[0, 1] * ray_ + M[0, 2] - b[0] * s_i
+        hy = M[1, 0] * rax + M[1, 1] * ray_ + M[1, 2] - b[1] * s_i
+        hz = M[2, 0] * rax + M[2, 1] * ray_ + M[2, 2] - b[2] * s_i
+        front = hz > 0
+        hz = jnp.where(jnp.abs(hz) < 1e-12, 1e-12, hz)
+        px = hx / hz
+        py = hy / hz
+        in_view = ((px >= 0) & (px < ctx.src_wh[v, 0]) & (py >= 0)
+                   & (py < ctx.src_wh[v, 1]) & front)
+        if ctx.packed_quads is not None:
+            # one packed-quad gather provides all four bilinear corners
+            x0 = jnp.clip(jnp.floor(px), 0, W - 1).astype(jnp.int32)
+            y0 = jnp.clip(jnp.floor(py), 0, H - 1).astype(jnp.int32)
+            fx = jnp.clip(px, 0, W - 1) - x0
+            fy = jnp.clip(py, 0, H - 1) - y0
+            g = ctx.packed_quads[v].reshape(-1)[y0 * W + x0]
+            i00 = (g & 0xFF).astype(jnp.float32)
+            i01 = ((g >> 8) & 0xFF).astype(jnp.float32)
+            i10 = ((g >> 16) & 0xFF).astype(jnp.float32)
+            i11 = ((g >> 24) & 0xFF).astype(jnp.float32)
+            src = ((i00 * (1 - fx) + i01 * fx) * (1 - fy)
+                   + (i10 * (1 - fx) + i11 * fx) * fy)
+        else:
+            from .ncc import bilinear_sample
+            src = bilinear_sample(ctx.src_imgs[v], px, py)
+        src_list.append(src)
+        inv_list.append(in_view)
+    src_a = jnp.stack(src_list)                        # [V, A, H, W]
+    inv_a = jnp.stack(inv_list)
+    sees = jnp.moveaxis(sel_views.reshape(-1, V)[idx], -1, 0)
+
+    usable = valid[None] & sees & inv_a
+    oov = valid[None] & sees & ~inv_a
+    w = jnp.where(usable, w_col[None], 0.0)
+    sw = jnp.sum(w, axis=1)
+    n_use = jnp.sum(usable, axis=1)
+    n_oov = jnp.sum(oov, axis=1)
+
+    inv = 1.0 / jnp.maximum(sw, 1e-30)
+    m_ref = jnp.sum(w * ref_a[None], axis=1) * inv
+    m_ref2 = jnp.sum(w * ref_a[None] ** 2, axis=1) * inv
+    m_src = jnp.sum(w * src_a, axis=1) * inv
+    m_src2 = jnp.sum(w * src_a ** 2, axis=1) * inv
+    m_rs = jnp.sum(w * ref_a[None] * src_a, axis=1) * inv
+
+    var_r = m_ref2 - m_ref * m_ref
+    var_s = m_src2 - m_src * m_src
+    cov = m_rs - m_ref * m_src
+    ncc = cov / jnp.maximum(jnp.sqrt(jnp.maximum(var_r * var_s, 0.0)), 1e-30)
+    c = jnp.clip(1.0 - ncc, 0.0, COST_MAX)
+    degenerate = (var_r < _K_MIN_VAR) | (var_s < _K_MIN_VAR)
+    c = jnp.where(degenerate | (n_use < _MIN_ANCHOR_SAMPLES), COST_MAX, c)
+    tot = jnp.maximum(n_use + n_oov, 1)
+    c = (c * n_use + COST_MAX * n_oov) / tot
+    has = (n_use + n_oov) > 0
+    return AnchorCostTerm(cost=jnp.moveaxis(c, 0, -1),
+                          has_anchors=jnp.moveaxis(has, 0, -1))
+
+
 def deformable_cost(
     ctx_yzl: CostContext,
     plane_candidate: jnp.ndarray,    # [H', W', 4]
