@@ -223,9 +223,14 @@ def select_candidates_edge(
         short_c = jnp.full((H, W), jnp.inf)
         short_off = jnp.zeros((H, W), jnp.int32)
         got2 = jnp.zeros((H, W), bool)
+        # static bound on step_num = clamp(int(dist * 0.5), 11, 22): dist is
+        # capped at max_d (and pinned to 22.0 on edge pixels, step_num 11),
+        # so steps past the cap are dead for EVERY pixel — at <=1320 px
+        # extents this prunes the scan from 22 to <=13 steps
+        s_max = min(22, max(11, int(max_d / (sq2 if diag else 1.0) * 0.5)))
         for L in edge_step_lengths(H, W, diag):
             sel_L = step_len == L
-            for s in range(22):
+            for s in range(s_max):
                 ox = 5 * dx + s * L * dx + fx
                 oy = 5 * dy + s * L * dy + fy
                 inb = _in_bounds_mask(H, W, ox, oy)
