@@ -91,9 +91,6 @@ def _cmd_prior(args) -> int:
         from ..priors.convert import load_torch_checkpoint
 
         params, cfg = load_torch_checkpoint(args.checkpoint)
-        import jax
-
-        params = jax.tree.map(lambda a: a, params)
     else:
         import jax
 

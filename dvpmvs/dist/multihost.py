@@ -123,21 +123,17 @@ class MultiHostRunner(SceneRunner):
     # array and the hosts all-gather it (jax process_allgather rides
     # ICI within a slice and DCN across slices).  Depth maps at the 800 px
     # pyramid base are < 2 MB/view, so one gather per pass moves a few MB.
-    def exchange_state_collective(self) -> None:
-        if self._pc == 1:
-            return
+    def _pack_state(self):
+        """Pack this host's owned post-pass view states into fixed-shape
+        arrays (ids [max_owned], pack [max_owned, 8, H, W]) suitable for an
+        all-gather.  Channels: depth, nx, ny, nz, weak, selbits, radius."""
         import numpy as np
-        from jax.experimental import multihost_utils
-
-        from ..sched.runner import ViewState
 
         owned = sorted(p.ref_image_id for p in self.scene.problems
                        if p.ref_image_id in self.state)
         max_owned = -(-len(self._all_problems) // self._pc)
         any_st = self.state[owned[0]]
         H, W = any_st.depth.shape
-        V = any_st.sel_views.shape[-1]
-        # channels: depth, nx, ny, nz, weak, selbits, radius  = 7 planes
         pack = np.zeros((max_owned, 8, H, W), np.float32)
         ids = np.full((max_owned,), -1, np.int32)
         for i, rid in enumerate(owned):
@@ -151,22 +147,43 @@ class MultiHostRunner(SceneRunner):
                 bits += st.sel_views[..., v].astype(np.float32) * (1 << v)
             pack[i, 5] = bits
             pack[i, 6] = st.radius
-        all_ids = np.asarray(multihost_utils.process_allgather(ids))
-        all_pack = np.asarray(multihost_utils.process_allgather(pack))
-        all_ids = all_ids.reshape(-1)
-        all_pack = all_pack.reshape(-1, 8, H, W)
-        owned_set = set(owned)
+        return ids, pack
+
+    def _unpack_foreign(self, all_ids, all_pack, num_views: int) -> None:
+        """Install gathered foreign view states (inverse of _pack_state)."""
+        import numpy as np
+
+        from ..sched.runner import ViewState
+
+        owned = {p.ref_image_id for p in self.scene.problems}
+        all_ids = np.asarray(all_ids).reshape(-1)
+        H, W = np.asarray(all_pack).shape[-2:]
+        all_pack = np.asarray(all_pack).reshape(-1, 8, H, W)
         for rid, pk in zip(all_ids, all_pack):
-            if rid < 0 or int(rid) in owned_set:
+            if rid < 0 or int(rid) in owned:
                 continue
             bits = pk[5].astype(np.int64)
             self.state[int(rid)] = ViewState(
                 depth=pk[0],
                 normal_world=np.moveaxis(pk[1:4], 0, -1),
                 weak=pk[4].astype(np.int8),
-                sel_views=np.stack([(bits >> v) & 1 for v in range(V)],
+                sel_views=np.stack([(bits >> v) & 1
+                                    for v in range(num_views)],
                                    -1).astype(bool),
                 radius=pk[6])
+
+    def exchange_state_collective(self) -> None:
+        if self._pc == 1:
+            return
+        from jax.experimental import multihost_utils
+
+        ids, pack = self._pack_state()
+        owned = sorted(p.ref_image_id for p in self.scene.problems
+                       if p.ref_image_id in self.state)
+        V = self.state[owned[0]].sel_views.shape[-1]
+        all_ids = multihost_utils.process_allgather(ids)
+        all_pack = multihost_utils.process_allgather(pack)
+        self._unpack_foreign(all_ids, all_pack, V)
 
     def run_schedule_pass(self, round_idx: int, pass_idx: int, key) -> None:
         super().run_schedule_pass(round_idx, pass_idx, key)

@@ -208,7 +208,7 @@ def geom_cost_pallas(gctx: GeomContext, depth_stack: jnp.ndarray,
         part = pl.pallas_call(
             kern,
             grid=grid,
-            in_specs=[smem, smem, pl.BlockSpec(memory_space=pltpu.ANY),
+            in_specs=[smem, smem, pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
                       tile_spec(Vc), pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=out_spec,
             out_shape=out_shape,

@@ -67,7 +67,20 @@ _TAP_AXIS = np.array([-1.0, -0.6, -0.2, 0.2, 0.6, 1.0], np.float32)
 # dynamic loop step lets Mosaic overlap their (serially dependent) gather
 # chains without the code-size/compile-time blowup of a full static unroll.
 import os as _os
-TAP_UNROLL = int(_os.environ.get("DVPMVS_TAP_UNROLL", "2"))
+
+def _parse_tap_unroll(raw: str) -> int:
+    """Tuning override for scripts/tune_fused.py only; must be a positive
+    divisor-friendly value — the 36-tap loop pads to a multiple of it, so
+    silly values (0, negatives, >36) would break or bloat the kernel."""
+    try:
+        v = int(raw)
+    except ValueError:
+        return 2
+    if v < 1 or v > 36:
+        return 2
+    return v
+
+TAP_UNROLL = _parse_tap_unroll(_os.environ.get("DVPMVS_TAP_UNROLL", "2"))
 
 def _tap_grid():
     gx, gy = np.meshgrid(_TAP_AXIS, _TAP_AXIS)
@@ -576,8 +589,8 @@ def fused_cost_from_ctx(ctx, planes: jnp.ndarray,
                         view_mask: jnp.ndarray | None = None,
                         plane_mask: jnp.ndarray | None = None,
                         interpret: bool = False,
-                        view_chunk: int = 5,
-                        pack_out: bool = True) -> jnp.ndarray:
+                        view_chunk: int = 4,
+                        pack_out: bool = False) -> jnp.ndarray:
     """ncc_cost_batch-compatible entry: planes [B, H', W', 4] -> costs
     [B, H', W', V] on the evaluation grid (dense, or checkerboard-packed
     when ``parity`` is 0/1 — then the weight fields in ``ctx`` must already

@@ -223,11 +223,14 @@ def select_candidates_edge(
         short_c = jnp.full((H, W), jnp.inf)
         short_off = jnp.zeros((H, W), jnp.int32)
         got2 = jnp.zeros((H, W), bool)
-        # static bound on step_num = clamp(int(dist * 0.5), 11, 22): dist is
-        # capped at max_d (and pinned to 22.0 on edge pixels, step_num 11),
-        # so steps past the cap are dead for EVERY pixel — at <=1320 px
-        # extents this prunes the scan from 22 to <=13 steps
-        s_max = min(22, max(11, int(max_d / (sq2 if diag else 1.0) * 0.5)))
+        # static bound on step_num = clamp(int(dist * 0.5), 11, 22): the cap
+        # above reproduces the reference quirk of comparing dist >= max_d
+        # AFTER the /sqrt2 division (APD.cu:2054-2062), so even on diagonal
+        # directions dist can reach max_d (values in (max_d/sqrt2, max_d) are
+        # NOT clamped).  The static prune must therefore use max_d for both
+        # axis and diagonal directions; steps past int(max_d*0.5) are dead
+        # for every pixel — at <=1320 px extents this prunes 22 -> <=13.
+        s_max = min(22, max(11, int(max_d * 0.5)))
         for L in edge_step_lengths(H, W, diag):
             sel_L = step_len == L
             for s in range(s_max):

@@ -288,7 +288,7 @@ def sweep_weighted_ncc(
             grid=grid,
             in_specs=[smem, smem, tile_spec(T), tile_spec(T), tile_spec(3),
                       tile_spec(Vc),
-                      pl.BlockSpec(memory_space=pltpu.ANY),
+                      pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
                       pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((K, OT_H, OT_W), lambda i, j: (0, i, j),
                                    memory_space=pltpu.VMEM),

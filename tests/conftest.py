@@ -21,3 +21,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Geometry einsums must not silently drop to bf16 on accelerators.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compile cache: pass-program compiles dominate suite wall time
+# (minutes each on CPU); repeated local runs hit the cache and drop to
+# seconds.  Fresh checkouts still pay full compile once.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -108,6 +108,7 @@ def _weak_pair(wb, exact: bool):
     return float((rel[m] < 0.02).mean())
 
 
+@pytest.mark.slow
 def test_warpfield_vs_exact_accuracy(weak_band):
     acc_exact = _weak_pair(weak_band, exact=True)
     acc_warp = _weak_pair(weak_band, exact=False)

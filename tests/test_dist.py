@@ -29,6 +29,7 @@ def _problem(H=32, W=48, n_views=3):
             ref_cam, src_cams, dyn)
 
 
+@pytest.mark.slow
 def test_tiled_pass_matches_untiled():
     devs = jax.devices()
     assert len(devs) >= 4

@@ -17,6 +17,11 @@ def scene():
     return make_scene(num_views=5, height=96, width=128, seed=2)
 
 
+@pytest.fixture(scope="module")
+def first_out(scene):
+    return _run_first(scene)
+
+
 def _run_first(scene, view=0, max_iterations=3):
     ref_cam = scene.cameras[view]
     src_ids = [v for v in range(len(scene.cameras)) if v != view]
@@ -32,8 +37,8 @@ def _run_first(scene, view=0, max_iterations=3):
     return out
 
 
-def test_first_init_recovers_depth(scene):
-    out = _run_first(scene)
+def test_first_init_recovers_depth(scene, first_out):
+    out = first_out
     gt = scene.gt_depth[0]
     depth = np.asarray(out.depth)
     m = 8
@@ -59,7 +64,12 @@ def test_first_init_recovers_depth(scene):
     assert float(np.mean(weak[m:-m, m:-m] == PixelState.STRONG)) > 0.6
 
 
-def test_pass_is_deterministic(scene):
-    out1 = _run_first(scene, max_iterations=1)
-    out2 = _run_first(scene, max_iterations=1)
-    np.testing.assert_array_equal(np.asarray(out1.depth), np.asarray(out2.depth))
+def test_pass_is_deterministic(scene, first_out):
+    # Re-run with identical statics/shapes: hits the fixture's compiled
+    # program (no second multi-minute compile) and must reproduce bitwise —
+    # counter-based jax.random, no clock64 seeding (SURVEY §4 determinism).
+    out2 = _run_first(scene)
+    np.testing.assert_array_equal(np.asarray(first_out.depth),
+                                  np.asarray(out2.depth))
+    np.testing.assert_array_equal(np.asarray(first_out.weak),
+                                  np.asarray(out2.weak))

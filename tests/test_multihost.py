@@ -8,6 +8,7 @@ stepped pass-by-pass — exactly the synchronization pattern of a 2-host run
 
 import jax
 import numpy as np
+import pytest
 
 from dvpmvs.config import PMStatic, SceneConfig
 from dvpmvs.dist.multihost import MultiHostRunner, host_problems
@@ -22,6 +23,118 @@ def test_host_problems_partition():
     assert all(len(s) in (2, 3) for s in slices)
 
 
+H_S, W_S, V_S = 32, 48, 2
+
+
+def _two_hosts(tmp_path, checkpoint=True):
+    scene_s = make_scene(num_views=4, height=H_S, width=W_S, seed=5)
+    folder = write_scene_dir(scene_s, tmp_path / "dense")
+    cfg = SceneConfig(geometric_passes=1, seed=0)
+    static = PMStatic(max_iterations=1)
+    ck = tmp_path / "ckpt" if checkpoint else None
+    hosts = [
+        MultiHostRunner(load_scene(folder, max_src_views=2), cfg,
+                        base_static=static, checkpoint_dir=ck,
+                        process_index=pi, process_count=2, verbose=False)
+        for pi in range(2)
+    ]
+    return scene_s, hosts, ck
+
+
+def _seed_states(hosts, seed=0):
+    """Give every host synthetic post-pass state for its owned views."""
+    from dvpmvs.sched.runner import ViewState
+
+    rng = np.random.default_rng(seed)
+    for h in hosts:
+        for p in h.scene.problems:
+            v = p.ref_image_id
+            n = rng.normal(size=(H_S, W_S, 3)).astype(np.float32)
+            n /= np.linalg.norm(n, axis=-1, keepdims=True)
+            h.state[v] = ViewState(
+                depth=rng.uniform(2.0, 4.0, (H_S, W_S)).astype(np.float32),
+                normal_world=n,
+                weak=rng.integers(0, 3, (H_S, W_S)).astype(np.int8),
+                sel_views=rng.integers(0, 2, (H_S, W_S, V_S)).astype(bool),
+                radius=rng.uniform(0, 9, (H_S, W_S)).astype(np.float32))
+
+
+def test_file_sync_roundtrip_without_passes(tmp_path):
+    """The file-sync mechanism itself (checkpoint -> pull foreign views),
+    isolated from the pass programs: synthesize per-host state, checkpoint,
+    sync, and require every host to hold identical copies of foreign views.
+    The full 2-host schedule integration (real passes) is the slow variant
+    below."""
+    scene_s, hosts, ck = _two_hosts(tmp_path)
+    _seed_states(hosts)
+    for h in hosts:
+        h.checkpoint(ck)
+    for h in hosts:
+        h._sync_foreign_views(ck)
+    for h in hosts:
+        needed = {s for p in h.scene.problems for s in p.src_image_ids}
+        assert needed <= set(h.state)
+    np.testing.assert_array_equal(hosts[0].state[1].depth,
+                                  hosts[1].state[1].depth)
+    np.testing.assert_array_equal(hosts[1].state[0].depth,
+                                  hosts[0].state[0].depth)
+
+
+def test_collective_exchange_matches_file_sync(tmp_path, monkeypatch):
+    """The DCN collective path (exchange_state_collective,
+    process_allgather) must install exactly the same foreign state as the
+    filesystem path (_sync_foreign_views).  process_allgather is faked by
+    stitching both hosts' _pack_state outputs — the gather semantics
+    (stack along a leading process axis)."""
+    import dvpmvs.dist.multihost as mh
+
+    # --- file path (reference behavior) ---
+    _, hosts_f, ck = _two_hosts(tmp_path)
+    _seed_states(hosts_f)
+    for h in hosts_f:
+        h.checkpoint(ck)
+    for h in hosts_f:             # post-barrier foreign pull
+        h._sync_foreign_views(ck)
+
+    # --- collective path on identically-seeded fresh hosts ---
+    _, hosts_c, _ = _two_hosts(tmp_path / "c")
+    _seed_states(hosts_c)
+    packs = [h._pack_state() for h in hosts_c]
+
+    def fake_allgather(x, **kw):
+        if x.ndim == 1:                      # ids
+            return np.stack([p[0] for p in packs])
+        return np.stack([p[1] for p in packs])
+
+    monkeypatch.setattr(mh, "multihost_utils",
+                        type("M", (), {"process_allgather":
+                                       staticmethod(fake_allgather)}),
+                        raising=False)
+    from jax.experimental import multihost_utils as real_mh
+    monkeypatch.setattr(real_mh, "process_allgather", fake_allgather)
+    for h in hosts_c:
+        h.exchange_state_collective()
+
+    for hf, hc in zip(hosts_f, hosts_c):
+        # the file path pulls only the views its problems *need*; the
+        # collective installs every gathered view — a superset is fine
+        assert set(hf.state) <= set(hc.state)
+        needed = {s for p in hf.scene.problems for s in p.src_image_ids}
+        assert needed <= set(hf.state)
+        for v in hf.state:
+            np.testing.assert_array_equal(hf.state[v].depth,
+                                          hc.state[v].depth)
+            np.testing.assert_array_equal(hf.state[v].weak,
+                                          hc.state[v].weak)
+            np.testing.assert_array_equal(hf.state[v].sel_views,
+                                          hc.state[v].sel_views)
+            np.testing.assert_allclose(hf.state[v].normal_world,
+                                       hc.state[v].normal_world, atol=1e-6)
+            np.testing.assert_array_equal(hf.state[v].radius,
+                                          hc.state[v].radius)
+
+
+@pytest.mark.slow
 def test_two_host_file_sync(tmp_path):
     scene_s = make_scene(num_views=4, height=32, width=48, seed=5)
     folder = write_scene_dir(scene_s, tmp_path / "dense")

@@ -136,6 +136,7 @@ def test_metrics_recorded(fused, tmp_path):
     assert json.loads((tmp_path / "metrics.json").read_text())["counters"]
 
 
+@pytest.mark.slow
 def test_mono_prior_end_to_end(tmp_path):
     """`dvpmvs prior` writes dep/ maps (DA-V2 run natively) and the scene
     pipeline's FIRST_INIT consumes them with sfm/ alignment

@@ -7,6 +7,10 @@ import numpy as np
 import pytest
 
 from dvpmvs.config import PMDynamic, PMStatic, PixelState, RunState
+
+# Full FIRST_INIT + REFINE_INIT passes at 64x80: ~5 min of CPU compiles.
+# Weak-machinery units stay in the default run via tests/test_weak.py.
+pytestmark = pytest.mark.slow
 from dvpmvs.engine import run_pass
 from dvpmvs.geometry import stack_cameras
 from dvpmvs.utils.synthetic import make_scene
