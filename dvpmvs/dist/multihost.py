@@ -73,6 +73,9 @@ class MultiHostRunner(SceneRunner):
         self.scene.problems = host_problems(self._all_problems,
                                             self._pi, self._pc)
         self._sync_dir = Path(checkpoint_dir) if checkpoint_dir else None
+        # foreign-view sync rewrites self.state between passes, so the
+        # batched device-resident shortcut must re-read host state each pass
+        self._sync_each_pass = True
 
     # SceneRunner.run() calls run_view_pass per owned problem, then
     # checkpoint(); we write only owned views, barrier, pull foreign views.

@@ -109,6 +109,8 @@ class CostContext(struct.PyTreeNode):
     backend: str = struct.field(pytree_node=False, default="exact")
     strong_radius: int = struct.field(pytree_node=False, default=5)
     packed_quads: Optional[jnp.ndarray] = None   # [V, H, W] int32 (pallas)
+    packed_p2: Optional[jnp.ndarray] = None      # [V, ~H/2, W] int32 stride-2
+                                                 # 4-row words (pack_p2)
     # fused-kernel inputs (pallas backend, static radius)
     ref_img: Optional[jnp.ndarray] = None        # [H, W]
     cam_cx: Optional[jnp.ndarray] = None         # scalar
@@ -216,10 +218,12 @@ def build_cost_context(
         V = src_imgs.shape[0]
         src_wh = jnp.tile(jnp.asarray([[W, H]], jnp.float32), (V, 1))
 
-    packed = None
+    packed = p2 = None
     if backend == "pallas":
-        from .ncc_fused import pack_quads
+        from .ncc_fused import GATHER_MODE, pack_p1, pack_quads
         packed = pack_quads(src_imgs)
+        if GATHER_MODE == "p2":
+            p2 = pack_p1(src_imgs)
 
     return CostContext(
         src_imgs=src_imgs, rx=rx, ry=ry, M=M, b=b,
@@ -228,7 +232,7 @@ def build_cost_context(
         sum_w=sum_w, sum_wref=sum_wref, sum_wref2=sum_wref2,
         src_wh=jnp.asarray(src_wh, jnp.float32),
         backend=backend, strong_radius=strong_radius,
-        packed_quads=packed,
+        packed_quads=packed, packed_p2=p2,
         ref_img=ref_img,
         cam_cx=jnp.asarray(ref_cam.cx, jnp.float32),
         cam_cy=jnp.asarray(ref_cam.cy, jnp.float32),

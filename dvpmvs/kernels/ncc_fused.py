@@ -56,8 +56,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 8
 TILE_W = 128
-DSPAN = 8              # distinct row offsets served per (tile, plane, view)
+# Distinct row offsets served per (tile, plane, view).  Default 10: the
+# interpolated per-(b,v) window anchors (see bv_cost) trade exact per-tap
+# minima for pipelinable scalar anchors, and two extra dispersion slots
+# absorb the anchor error — measured round 3 (608x800, V=10): DSPAN 9/10/12
+# = 0.435/0.424/0.403 view-pass/s at acc2% 0.942/0.952/0.963; 10 keeps a
+# safety margin over the 0.94 accuracy bar.
+import os as _os_early
+DSPAN = int(_os_early.environ.get("DVPMVS_DSPAN", "10"))
+if DSPAN < 4 or DSPAN > 16:
+    DSPAN = 10
 PAD_TOP = 8            # blank rows above the source (alignment never clamps)
+P1_PAD_BOT = 40        # pack_p1 bottom slack: the aligned 24-row load chain
+                       # never clamps (max anchor Hsq+PAD_TOP, +24 window)
+N_JW = DSPAN // 2 + 1  # word-row dispersion steps of the p1 gather
 COST_MAX = 2.0
 _K_MIN_VAR = 1e-5
 
@@ -81,6 +93,19 @@ def _parse_tap_unroll(raw: str) -> int:
     return v
 
 TAP_UNROLL = _parse_tap_unroll(_os.environ.get("DVPMVS_TAP_UNROLL", "2"))
+
+# Source-gather layout: "p2" (stride-2 4-row words — half the row-dispersion
+# steps and half the source VMEM of the quad layout) or "quad" (2x2 packed
+# quads, the round-2 design).  Env override for A/B tuning only.
+GATHER_MODE = _os.environ.get("DVPMVS_GATHER", "quad")
+if GATHER_MODE not in ("p2", "quad"):
+    GATHER_MODE = "quad"
+
+# Timing-only ablations for scripts/tune_fused.py (WRONG NUMERICS — never
+# set in production): "static_dlo" pins the gather-window anchors to
+# constants (measures the per-tap vector->scalar reduction + dynamic-address
+# cost); "nogather" skips the row-dispersion loop entirely.
+ABLATE = _os.environ.get("DVPMVS_ABLATE", "")
 
 def _tap_grid():
     gx, gy = np.meshgrid(_TAP_AXIS, _TAP_AXIS)
@@ -132,6 +157,26 @@ def pack_quads(src_imgs: jnp.ndarray) -> jnp.ndarray:
     return q | (right << 8) | (down << 16) | (downright << 24)
 
 
+def pack_p1(src_imgs: jnp.ndarray) -> jnp.ndarray:
+    """[V, H, W] float 0..255 -> [V, PAD_TOP + H + P1_PAD_BOT, W] int32
+    vertical 4-row words over the PADDED row space: P1[r, x] packs padded
+    rows r..r+3 (PAD_TOP blank rows above the source, blanks below).
+
+    For a pixel needing the bilinear row pair (y, y+1) the kernel picks the
+    word at r = y + PAD_TOP - (delta & 1) with delta the tile's de-sloped
+    row offset — r - s is always EVEN, so the row-dispersion loop steps over
+    word rows in strides of 2: ceil(DSPAN/2)+1 steps instead of DSPAN, at
+    the price of a second lane gather for the x+1 column (no longer
+    co-packed as in pack_quads).
+    """
+    q = jnp.clip(jnp.round(src_imgs), 0, 255).astype(jnp.int32)
+    qp = jnp.pad(q, ((0, 0), (PAD_TOP, P1_PAD_BOT), (0, 0)))
+    r1 = jnp.concatenate([qp[:, 1:], qp[:, -1:]], axis=1)
+    r2 = jnp.concatenate([qp[:, 2:], jnp.repeat(qp[:, -1:], 2, 1)], axis=1)
+    r3 = jnp.concatenate([qp[:, 3:], jnp.repeat(qp[:, -1:], 3, 1)], axis=1)
+    return qp | (r1 << 8) | (r2 << 16) | (r3 << 24)
+
+
 def tap_axis_offsets() -> np.ndarray:
     """[36, 2] tap offsets for radius 1 (scale by the window radius)."""
     gx, gy = np.meshgrid(_TAP_AXIS, _TAP_AXIS)
@@ -140,7 +185,7 @@ def tap_axis_offsets() -> np.ndarray:
 
 def _make_fused_kernel(B, Vc, T, H_true, W_true, radius,
                        parity, per_pixel_radius, use_mask, use_pmask,
-                       pack_out=True):
+                       pack_out=True, gather_p2=False):
     """Kernel factory.
 
     Grid (Hq//8, Wq//128) over the (possibly checkerboard-packed) pixel
@@ -229,6 +274,53 @@ def _make_fused_kernel(B, Vc, T, H_true, W_true, radius,
 
             czc = jnp.where(jnp.abs(base2) < 1e-12, 1e-12, base2)
 
+            # ---- per-(b, v) gather-window anchors ----
+            # Measured round 3: computing d_lo / x_lo per tap (72 vector->
+            # scalar min-reductions feeding dynamic load addresses) was 42%
+            # of kernel time (ablation DVPMVS_ABLATE=static_dlo: 296 ->
+            # 171 ms).  The tile minimum of the warped row/col is CONCAVE in
+            # the tap offset (min of per-pixel affine functions), so the
+            # anchors at the two extreme taps bound every tap's anchor from
+            # below via linear interpolation — 4 reductions per (b, v)
+            # instead of 72, and the per-tap anchors become pure scalar
+            # math available long before the loads (pipelinable).  The -1
+            # guard absorbs floor() curvature; anchors lower than the true
+            # minimum only shift the DSPAN window, clamping at the same
+            # tail the band clamp already documents.
+            rad_v = rad if per_pixel_radius else radius
+
+            def y_anchor(sgn):
+                hy = base1 + sgn * rad_v * cyy1
+                hz = base2 + sgn * rad_v * cyy2
+                hz = jnp.where(jnp.abs(hz) < 1e-12, 1e-12, hz)
+                py = jnp.clip(hy / hz, 0.0, H_true - 1.0)
+                de = jnp.floor(py).astype(jnp.int32) + PAD_TOP - s_iota
+                return jnp.min(jnp.where(pad_mask, Hsq + PAD_TOP,
+                                         de)).astype(jnp.float32)
+
+            def x_anchor(sgn):
+                hx = base0 + sgn * rad_v * cxx0
+                hz = base2 + sgn * rad_v * cxx2
+                hz = jnp.where(jnp.abs(hz) < 1e-12, 1e-12, hz)
+                px = jnp.clip(hx / hz, 0.0, W_true - 1.0)
+                xe = jnp.floor(px).astype(jnp.int32)
+                return jnp.min(jnp.where(pad_mask, Wsq - 1,
+                                         xe)).astype(jnp.float32)
+
+            # 3-point piecewise-linear interpolation: exact at the extreme
+            # AND center taps (concavity makes each segment a lower bound);
+            # 6 reductions per (b, v) instead of 72 per-tap ones
+            d_lo_n, d_lo_c, d_lo_p = (y_anchor(-1.0), y_anchor(0.0),
+                                      y_anchor(1.0))
+            x_lo_n, x_lo_c, x_lo_p = (x_anchor(-1.0), x_anchor(0.0),
+                                      x_anchor(1.0))
+
+            def _anchor_interp(a, lo, mid, hi):
+                """a in [-1, 1] -> piecewise lerp through (lo, mid, hi)."""
+                return jnp.where(a <= 0.0,
+                                 mid + (0.0 - a) * (lo - mid),
+                                 mid + a * (hi - mid))
+
             def tap_body(t, moms):
                 s1, s2, s3 = moms
                 if per_pixel_radius:
@@ -251,67 +343,141 @@ def _make_fused_kernel(B, Vc, T, H_true, W_true, radius,
                 x0i = x0f.astype(jnp.int32)
                 y0i = y0f.astype(jnp.int32)
 
-                # Row-offset decomposition: pixel (s, l) needs source row
-                # y0(s, l) = s + delta(s, l) - PAD_TOP (quads are padded by
-                # PAD_TOP blank rows so load addresses never clamp).  For
-                # smooth warps delta is nearly constant over the tile (row
-                # slope ~1), so DSPAN shifted windows anchored at min(delta)
-                # serve all 8 sublanes — unlike a rotate-and-select sweep
-                # where each of 8 rotations fills only the sublanes it
-                # happens to align.  Fully static structure: Mosaic software-
-                # pipelines straight-line code; data-dependent loops stall.
-                delta = y0i + PAD_TOP - s_iota          # >= 1 always
-                d_lo = jnp.maximum(jnp.min(
-                    jnp.where(pad_mask, Hsq + PAD_TOP, delta)), 1)
-                x_lo = jnp.min(jnp.where(pad_mask, Wsq - 1, x0i))
-                dj_pix = jnp.clip(delta - d_lo, 0, DSPAN - 1)
-                cbase = jnp.clip(x_lo, 0, max(Wsq - cols, 0))
-                cbase = pl.multiple_of((cbase // TILE_W) * TILE_W, TILE_W)
+                if ABLATE == "static_dlo":
+                    cbase = 0
+                else:
+                    if ABLATE == "exact_xlo":
+                        x_lo = jnp.min(jnp.where(pad_mask, Wsq - 1, x0i))
+                    else:
+                        x_lo = (jnp.floor(_anchor_interp(
+                            taps_ref[t, 0], x_lo_n, x_lo_c, x_lo_p))
+                                .astype(jnp.int32) - 1)
+                    cbase = jnp.clip(x_lo, 0, max(Wsq - cols, 0))
+                    cbase = pl.multiple_of((cbase // TILE_W) * TILE_W,
+                                           TILE_W)
                 xlocal = jnp.clip(x0i - cbase, 0, cols - 1)
 
-                # aligned 8-row base of the DSPAN+8 row window
-                m0 = d_lo % TILE_H
-                a0 = pl.multiple_of(d_lo - m0, TILE_H)
-                up = (TILE_H - m0) % TILE_H
-                in_lo = s_iota < TILE_H - m0
+                if gather_p2:
+                    # P1 layout (pack_p1): the word at padded row r packs
+                    # rows r..r+3, so the bilinear pair (y0, y0+1) lives in
+                    # the word at r = y0 + PAD_TOP - (delta & 1) at bytes
+                    # (delta&1, delta&1 + 1) — and r - s = 2*(delta>>1) is
+                    # EVEN, so the dispersion loop steps over word rows in
+                    # strides of two: N_JW = DSPAN/2+1 shifted windows
+                    # instead of DSPAN, each taken from ONE dynamically
+                    # re-anchored 24-row window (static even rolls), at the
+                    # price of a second lane gather for the x+1 column.
+                    delta = y0i + PAD_TOP - s_iota          # >= 1 always
+                    rr = delta >> 1
+                    r_lo = jnp.maximum(
+                        (jnp.floor(_anchor_interp(
+                            taps_ref[t, 1], d_lo_n, d_lo_c, d_lo_p))
+                         .astype(jnp.int32) - 1) >> 1, 0)
+                    du = jnp.clip(rr - r_lo, 0, N_JW - 1)
+                    b0 = (delta & 1) << 3          # byte shift of row y0
+                    base2r = 2 * r_lo
+                    m0 = base2r % TILE_H
+                    a0 = pl.multiple_of(base2r - m0, TILE_H)
+                    xlocB = jnp.clip(xlocal + 1, 0, cols - 1)
 
-                g = jnp.zeros((TILE_H, TILE_W), jnp.int32)
-                for xb in range(n_xb):
-                    col = pl.multiple_of(cbase + xb * TILE_W, TILE_W)
-                    loc = jnp.clip(xlocal - xb * TILE_W, 0, TILE_W - 1)
-                    in_col = ((xlocal >= xb * TILE_W)
-                              & (xlocal < (xb + 1) * TILE_W))
+                    gA = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+                    gB = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+                    for xb in range(n_xb):
+                        col = pl.multiple_of(cbase + xb * TILE_W, TILE_W)
+                        locA = jnp.clip(xlocal - xb * TILE_W, 0, TILE_W - 1)
+                        locB = jnp.clip(xlocB - xb * TILE_W, 0, TILE_W - 1)
+                        inA = ((xlocal >= xb * TILE_W)
+                               & (xlocal < (xb + 1) * TILE_W))
+                        inB = ((xlocB >= xb * TILE_W)
+                               & (xlocB < (xb + 1) * TILE_W))
+                        # RW[k] = P1[base2r + k] for k in [0, 16): one
+                        # dynamic roll re-anchors the aligned 24-row load
+                        blks = jnp.concatenate(
+                            [quads_ref[v, pl.ds(a0 + u * TILE_H, TILE_H),
+                                       pl.ds(col, TILE_W)]
+                             for u in range(3)], axis=0)     # [24, TILE_W]
+                        RW = pltpu.roll(blks, (24 - m0) % 24, axis=0)
+                        for jw in range(N_JW):
+                            win = pltpu.roll(
+                                RW, (24 - 2 * jw) % 24, axis=0)[:TILE_H]
+                            ggA = jnp.take_along_axis(win, locA, axis=1)
+                            ggB = jnp.take_along_axis(win, locB, axis=1)
+                            hit = du == jw
+                            gA = jnp.where(hit & inA, ggA, gA)
+                            gB = jnp.where(hit & inB, ggB, gB)
+                    wA = jax.lax.shift_right_logical(gA, b0)
+                    wB = jax.lax.shift_right_logical(gB, b0)
+                    i00 = (wA & 0xFF).astype(jnp.float32)
+                    i10 = ((wA >> 8) & 0xFF).astype(jnp.float32)
+                    i01 = (wB & 0xFF).astype(jnp.float32)
+                    i11 = ((wB >> 8) & 0xFF).astype(jnp.float32)
+                else:
+                    # Row-offset decomposition: pixel (s, l) needs source
+                    # row y0(s, l) = s + delta(s, l) - PAD_TOP (quads are
+                    # padded by PAD_TOP blank rows so load addresses never
+                    # clamp).  For smooth warps delta is nearly constant
+                    # over the tile (row slope ~1), so DSPAN shifted windows
+                    # anchored at min(delta) serve all 8 sublanes — unlike a
+                    # rotate-and-select sweep where each of 8 rotations
+                    # fills only the sublanes it happens to align.  Fully
+                    # static structure: Mosaic software-pipelines straight-
+                    # line code; data-dependent loops stall.
+                    delta = y0i + PAD_TOP - s_iota          # >= 1 always
+                    if ABLATE == "static_dlo":
+                        d_lo = PAD_TOP
+                    else:
+                        d_lo = jnp.maximum(
+                            jnp.floor(_anchor_interp(
+                                taps_ref[t, 1], d_lo_n, d_lo_c, d_lo_p))
+                            .astype(jnp.int32) - 1, 1)
+                    dj_pix = jnp.clip(delta - d_lo, 0, DSPAN - 1)
 
-                    # R[u][s] = source row d_lo + u*8 + s: aligned loads
-                    # realigned by one dynamic sublane roll + select
-                    # (window spans DSPAN-1+TILE_H rows from d_lo)
-                    nR = (DSPAN - 1 + TILE_H - 1) // TILE_H + 1
-                    blks = [quads_ref[v, pl.ds(a0 + u * TILE_H, TILE_H),
-                                      pl.ds(col, TILE_W)]
-                            for u in range(nR + 1)]
-                    rots = [pltpu.roll(bk, up, axis=0) for bk in blks]
-                    Rs = [jnp.where(in_lo, rots[u], rots[u + 1])
-                          for u in range(nR)]
+                    # aligned 8-row base of the DSPAN+8 row window
+                    m0 = d_lo % TILE_H
+                    a0 = pl.multiple_of(d_lo - m0, TILE_H)
+                    up = (TILE_H - m0) % TILE_H
+                    in_lo = s_iota < TILE_H - m0
 
-                    for j in range(DSPAN):
-                        # win[s] = source row d_lo + j + s
-                        r0 = Rs[j // TILE_H]
-                        jm = j % TILE_H
-                        if jm == 0:
-                            win = r0
-                        else:
-                            r1 = Rs[j // TILE_H + 1]
-                            win = jnp.where(
-                                s_iota < TILE_H - jm,
-                                pltpu.roll(r0, TILE_H - jm, axis=0),
-                                pltpu.roll(r1, TILE_H - jm, axis=0))
-                        gg = jnp.take_along_axis(win, loc, axis=1)
-                        g = jnp.where((dj_pix == j) & in_col, gg, g)
+                    g = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+                    if ABLATE == "nogather":
+                        g = quads_ref[v, pl.ds(a0, TILE_H),
+                                      pl.ds(0, TILE_W)] + dj_pix
+                    for xb in range(0 if ABLATE == "nogather" else n_xb):
+                        col = pl.multiple_of(cbase + xb * TILE_W, TILE_W)
+                        loc = jnp.clip(xlocal - xb * TILE_W, 0, TILE_W - 1)
+                        in_col = ((xlocal >= xb * TILE_W)
+                                  & (xlocal < (xb + 1) * TILE_W))
 
-                i00 = (g & 0xFF).astype(jnp.float32)
-                i01 = ((g >> 8) & 0xFF).astype(jnp.float32)
-                i10 = ((g >> 16) & 0xFF).astype(jnp.float32)
-                i11 = ((g >> 24) & 0xFF).astype(jnp.float32)
+                        # R[u][s] = source row d_lo + u*8 + s: aligned loads
+                        # realigned by one dynamic sublane roll + select
+                        # (window spans DSPAN-1+TILE_H rows from d_lo)
+                        nR = (DSPAN - 1 + TILE_H - 1) // TILE_H + 1
+                        blks = [quads_ref[v, pl.ds(a0 + u * TILE_H, TILE_H),
+                                          pl.ds(col, TILE_W)]
+                                for u in range(nR + 1)]
+                        rots = [pltpu.roll(bk, up, axis=0) for bk in blks]
+                        Rs = [jnp.where(in_lo, rots[u], rots[u + 1])
+                              for u in range(nR)]
+
+                        for j in range(DSPAN):
+                            # win[s] = source row d_lo + j + s
+                            r0 = Rs[j // TILE_H]
+                            jm = j % TILE_H
+                            if jm == 0:
+                                win = r0
+                            else:
+                                r1 = Rs[j // TILE_H + 1]
+                                win = jnp.where(
+                                    s_iota < TILE_H - jm,
+                                    pltpu.roll(r0, TILE_H - jm, axis=0),
+                                    pltpu.roll(r1, TILE_H - jm, axis=0))
+                            gg = jnp.take_along_axis(win, loc, axis=1)
+                            g = jnp.where((dj_pix == j) & in_col, gg, g)
+
+                    i00 = (g & 0xFF).astype(jnp.float32)
+                    i01 = ((g >> 8) & 0xFF).astype(jnp.float32)
+                    i10 = ((g >> 16) & 0xFF).astype(jnp.float32)
+                    i11 = ((g >> 24) & 0xFF).astype(jnp.float32)
                 src_t = ((i00 * (1 - fx) + i01 * fx) * (1 - fy)
                          + (i10 * (1 - fx) + i11 * fx) * fy)
                 w = w_ref[t]
@@ -466,6 +632,34 @@ def fused_ncc_costs(
     view_chunk: int = 4,
     interpret: bool = False,
     pack_out: bool = False,
+    p2: jnp.ndarray | None = None,  # [V, R2, W] stride-2 words (pack_p2);
+                                    # when given, replaces the quad gather
+) -> jnp.ndarray:
+    return _fused_ncc_costs_impl(
+        q_planes, w_taps, wref_taps, wsums, quads, M, bvec, cam_scalars,
+        src_wh, radius, radius_map, parity, view_mask, plane_mask,
+        view_chunk, interpret, pack_out, p2)
+
+
+def _fused_ncc_costs_impl(
+    q_planes: jnp.ndarray,        # [B, H', W', 3] candidate plane fields
+    w_taps: jnp.ndarray,          # [T, H', W'] bilateral weights
+    wref_taps: jnp.ndarray,       # [T, H', W'] weight * ref intensity
+    wsums: jnp.ndarray,           # [3, H', W'] sum_w / sum_wref / sum_wref2
+    quads: jnp.ndarray,           # [V, H, W] int32 packed source quads
+    M: jnp.ndarray,               # [V, 3, 3] homography matrix terms
+    bvec: jnp.ndarray,            # [V, 3]
+    cam_scalars: jnp.ndarray,     # [4] cx, cy, inv_fx, inv_fy
+    src_wh: jnp.ndarray,          # [V, 2] source extents
+    radius: float = 5.0,          # static window radius
+    radius_map: jnp.ndarray | None = None,   # [H', W'] per-pixel radius
+    parity=None,                  # None dense; 0/1 checkerboard-packed
+    view_mask: jnp.ndarray | None = None,   # [Gi, Gj] int32 per-tile bitmask
+    plane_mask: jnp.ndarray | None = None,  # [Gi, Gj] int32 per-tile B-bits
+    view_chunk: int = 4,
+    interpret: bool = False,
+    pack_out: bool = False,
+    p2: jnp.ndarray | None = None,
 ) -> jnp.ndarray:                 # [B, H', W', V]
     """Evaluate B candidate plane fields against V source views.
 
@@ -499,8 +693,14 @@ def fused_ncc_costs(
     sums_p = _pad_hw(wsums, Hq, Wq)
     # row padding: PAD_TOP blank rows above + DSPAN + 24 below so the
     # kernel's aligned load chain never needs clamping
-    quads_p = jnp.pad(_pad_hw(quads, Hsq, Wsq),
-                      ((0, 0), (PAD_TOP, DSPAN + 24), (0, 0)))
+    gather_p2 = p2 is not None
+    if gather_p2:
+        # pack_p1 output is already row-padded (PAD_TOP above, P1_PAD_BOT
+        # below); only the columns need alignment padding
+        quads_p = _pad_hw(p2, p2.shape[1], Wsq)
+    else:
+        quads_p = jnp.pad(_pad_hw(quads, Hsq, Wsq),
+                          ((0, 0), (PAD_TOP, DSPAN + 24), (0, 0)))
     if per_pixel_radius:
         rad_p = _pad_hw(radius_map[None].astype(jnp.float32), Hq, Wq)
     else:
@@ -528,7 +728,7 @@ def fused_ncc_costs(
         Vc = min(view_chunk, V - v0)
         kern = _make_fused_kernel(
             B, Vc, T, H, W, float(radius), parity, per_pixel_radius,
-            use_mask, use_pmask, pack_out=pack_out)
+            use_mask, use_pmask, pack_out=pack_out, gather_p2=gather_p2)
         cam = jnp.concatenate([
             jnp.asarray(cam_scalars, jnp.float32),
             jnp.asarray(src_wh[v0:v0 + Vc], jnp.float32).reshape(-1)])
@@ -605,4 +805,5 @@ def fused_cost_from_ctx(ctx, planes: jnp.ndarray,
         radius=float(ctx.strong_radius),
         radius_map=ctx.radius if ctx.has_radius_map else None,
         parity=parity, view_mask=view_mask, plane_mask=plane_mask,
-        interpret=interpret, view_chunk=view_chunk, pack_out=pack_out)
+        interpret=interpret, view_chunk=view_chunk, pack_out=pack_out,
+        p2=getattr(ctx, "packed_p2", None))

@@ -92,6 +92,17 @@ class SceneRunner:
         # jitted run_pass per static config — one compile per (config,
         # shape); the schedule reuses it across views and passes
         self._pass_fns: Dict[PMStatic, object] = {}
+        # device-resident batched round state (run_pass_batched): the
+        # previous pass's PassOutput + batch layout, so geometric passes
+        # feed init/src_depths straight from device arrays (the all-gather
+        # of dist.sharding.exchange_src_depths) instead of rebuilding from
+        # host numpy — the reference's file-based cross-view sync point
+        # (APD.cpp:1147-1166) becomes an ICI collective.
+        self._dev = None
+        # multi-host runners mutate self.state between passes (foreign-view
+        # sync), so the device-resident shortcut must not skip the host
+        # state; MultiHostRunner sets this True.
+        self._sync_each_pass = False
 
         any_img = next(iter(scene.images.values()))
         self.rounds = num_rounds_for(any_img.shape[1], any_img.shape[0],
@@ -308,7 +319,8 @@ class SceneRunner:
         multiple of the mesh size by repeating problems (dropped at unbatch).
         """
         from ..dist.mesh import make_mesh
-        from ..dist.sharding import make_batched_pass, shard_problems
+        from ..dist.sharding import (exchange_src_depths, make_batched_pass,
+                                     shard_problems)
 
         n_dev = min(self.config.mesh_views, len(jax.devices()))
         B0 = len(problems)
@@ -321,111 +333,194 @@ class SceneRunner:
         W = max(im.shape[1] for im, _ in scaled)
         V = max(len(p.src_image_ids) for p in plist)
 
+        # ---- device-resident fast path (geometric passes of a round) ----
+        # When the previous batched pass of this round left its PassOutput
+        # on device with the same layout, feed init state and source depths
+        # from it directly: no host rescale/stack/upload, and the cross-view
+        # depth exchange is a device-side gather (all-gather on a mesh).
+        # Gated to uniform-extent batches (padded slots would re-enter the
+        # pass with computed pad values instead of the host path's zero
+        # fill) and to single-process runners (multi-host syncs mutate
+        # self.state between passes).
+        rid_order = tuple(p.ref_image_id for p in plist)
+        layout = (rid_order, H, W, V, scale_size)
+        rid2idx = {}
+        for j, r in enumerate(rid_order):
+            rid2idx.setdefault(r, j)
+        src_index = np.asarray(
+            [[rid2idx.get(sid, -1)
+              for sid in (list(p.src_image_ids)
+                          + [p.src_image_ids[-1]]
+                          * (V - len(p.src_image_ids)))]
+             for p in plist], np.int32)
+        uniform = all(im.shape == (H, W) for im, _ in scaled)
+        use_dev = (self._dev is not None
+                   and self._dev["layout"] == layout
+                   and static.state == RunState.REFINE_ITER
+                   and not self._sync_each_pass
+                   and uniform
+                   and (not static.geom_consistency
+                        or (src_index >= 0).all()))
+        self._last_pass_device_resident = use_dev
+
         def pad_hw(a, fill=0.0):
             out = np.full((H, W) + a.shape[2:], fill, a.dtype)
             out[:a.shape[0], :a.shape[1]] = a
             return out
 
-        ref_imgs, ref_cams, src_imgs, src_cams = [], [], [], []
-        init_pw, init_sel, init_weak, radius, src_depths = [], [], [], [], []
-        edges, labels = [], []
-        dyns, keys = [], []
+        mesh = make_mesh(n_dev) if n_dev > 1 else None
         need_state = static.state != RunState.FIRST_INIT
         want_edges = static.use_edge or (static.use_APD and static.use_label)
-        for p, (rimg, rcam) in zip(plist, scaled):
-            h, w = rimg.shape
-            ref_imgs.append(pad_hw(rimg))
-            ref_cams.append(rcam)
-            srcs = list(p.src_image_ids)
-            pad_ids = srcs + [srcs[-1]] * (V - len(srcs))
-            simgs = []
-            for sid in pad_ids[:len(srcs)]:
-                s, _ = self._scaled_view(sid, scale_size)
-                canvas = np.zeros((H, W), np.float32)
-                canvas[:min(H, s.shape[0]), :min(W, s.shape[1])] = \
-                    s[:min(H, s.shape[0]), :min(W, s.shape[1])]
-                simgs.append(canvas)
-            simgs += [np.zeros((H, W), np.float32)] * (V - len(srcs))
-            src_imgs.append(np.stack(simgs))
-            src_cams.append(stack_cameras(
-                [self._scaled_view(sid, scale_size)[1] for sid in pad_ids]))
-            dyns.append(dyn.replace(
-                depth_min=jnp.asarray(float(rcam.depth_min) * 0.6, jnp.float32),
-                depth_max=jnp.asarray(float(rcam.depth_max) * 1.2, jnp.float32)))
-            keys.append(jax.random.fold_in(
-                jax.random.fold_in(key, self.iteration), p.ref_image_id))
+        need_label = static.use_APD and static.use_label
 
-            st = self.state.get(p.ref_image_id)
-            if need_state:
-                assert st is not None
-                d = rescale_nearest(st.depth, (h, w))
-                nrm = rescale_nearest(st.normal_world, (h, w))
-                init_pw.append(pad_hw(
-                    np.concatenate([nrm, d[..., None]], -1)))
-                sel = rescale_nearest(st.sel_views.astype(np.uint8), (h, w))
-                sel = np.pad(sel, ((0, 0), (0, 0),
-                                   (0, V - sel.shape[-1])))
-                init_sel.append(pad_hw(sel.astype(bool)))
-                init_weak.append(pad_hw(
-                    rescale_nearest(st.weak, (h, w)),
-                    fill=PixelState.UNKNOWN))
-                if static.use_radius:
-                    radius.append(pad_hw(rescale_nearest(st.radius, (h, w))))
-            elif p.ref_image_id in self.mono_planes:
-                mp = self.mono_planes[p.ref_image_id]
-                if mp.shape[:2] != (h, w):
-                    mp = np.stack([rescale_nearest(mp[..., i], (h, w))
-                                   for i in range(4)], -1)
-                init_pw.append(pad_hw(mp))
+        # ---- state-independent args (images/cameras/edges): identical for
+        # every pass of a round, so cache them on device across passes ----
+        cache = self._dev.get("args") if self._dev is not None else None
+        use_cache = (cache is not None
+                     and self._dev["layout"] == layout
+                     and cache["flags"] == (want_edges, need_label))
+        if use_cache:
+            args_static = cache
+        else:
+            ref_imgs, ref_cams, src_imgs, src_cams = [], [], [], []
+            edges, labels, dyns = [], [], []
+            for p, (rimg, rcam) in zip(plist, scaled):
+                h, w = rimg.shape
+                ref_imgs.append(pad_hw(rimg))
+                ref_cams.append(rcam)
+                srcs = list(p.src_image_ids)
+                pad_ids = srcs + [srcs[-1]] * (V - len(srcs))
+                simgs = []
+                for sid in pad_ids[:len(srcs)]:
+                    s, _ = self._scaled_view(sid, scale_size)
+                    canvas = np.zeros((H, W), np.float32)
+                    canvas[:min(H, s.shape[0]), :min(W, s.shape[1])] = \
+                        s[:min(H, s.shape[0]), :min(W, s.shape[1])]
+                    simgs.append(canvas)
+                simgs += [np.zeros((H, W), np.float32)] * (V - len(srcs))
+                src_imgs.append(np.stack(simgs))
+                src_cams.append(stack_cameras(
+                    [self._scaled_view(sid, scale_size)[1]
+                     for sid in pad_ids]))
+                dyns.append(dyn.replace(
+                    depth_min=jnp.asarray(float(rcam.depth_min) * 0.6,
+                                          jnp.float32),
+                    depth_max=jnp.asarray(float(rcam.depth_max) * 1.2,
+                                          jnp.float32)))
+                if want_edges:
+                    eg, lb = self._edges_for(p.ref_image_id, scale_size,
+                                             need_label=need_label)
+                    if eg is not None:
+                        edges.append(pad_hw(rescale_nearest(eg, (h, w)) > 0))
+                    if lb is not None:
+                        labels.append(pad_hw(
+                            rescale_nearest(lb, (h, w)).astype(np.int32)))
+            stackc = lambda cs: jax.tree.map(lambda *xs: jnp.stack(xs), *cs)
+            args_static = {
+                "flags": (want_edges, need_label),
+                "ref_imgs": jnp.asarray(np.stack(ref_imgs)),
+                "src_imgs": jnp.asarray(np.stack(src_imgs)),
+                "ref_cams": stackc(ref_cams),
+                "src_cams": stackc(src_cams),
+                "dyns": stackc(dyns),
+                "edge": jnp.asarray(np.stack(edges)) if edges else None,
+                "label": jnp.asarray(np.stack(labels)) if labels else None,
+            }
+
+        keys = [jax.random.fold_in(
+                    jax.random.fold_in(key, self.iteration), p.ref_image_id)
+                for p in plist]
+
+        # ---- state-dependent inputs: device arrays from the previous
+        # pass, or host rebuild (round start / fallback) ----
+        kw = {}
+        if use_dev:
+            prev = self._dev["out"]
+            kw["init_plane_world"] = jnp.concatenate(
+                [prev.normal_world, prev.depth[..., None]], -1)
+            kw["init_sel"] = self._dev["sel_clean"]
+            kw["init_weak"] = prev.weak
+            if static.use_radius:
+                kw["radius_map"] = prev.radius
             if static.geom_consistency:
-                sds = []
-                for sid in pad_ids:
-                    sd = self.state.get(sid)
-                    dd = (rescale_nearest(sd.depth, (h, w))
-                          if sd is not None else np.zeros((h, w), np.float32))
-                    sds.append(pad_hw(dd))
-                src_depths.append(np.stack(sds))
-            if want_edges:
-                eg, lb = self._edges_for(
-                    p.ref_image_id, scale_size,
-                    need_label=static.use_APD and static.use_label)
-                if eg is not None:
-                    edges.append(pad_hw(rescale_nearest(eg, (h, w)) > 0))
-                if lb is not None:
-                    labels.append(pad_hw(
-                        rescale_nearest(lb, (h, w)).astype(np.int32)))
+                # the reference's cross-view sync point (APD.cpp:1147-1166)
+                # as a device-side gather — an all-gather over the views
+                # mesh axis instead of a host depth-map round trip
+                kw["src_depths"] = exchange_src_depths(
+                    prev.depth, jnp.asarray(src_index))
+        else:
+            init_pw, init_sel, init_weak = [], [], []
+            radius, src_depths = [], []
+            for p, (rimg, rcam) in zip(plist, scaled):
+                h, w = rimg.shape
+                srcs = list(p.src_image_ids)
+                pad_ids = srcs + [srcs[-1]] * (V - len(srcs))
+                st = self.state.get(p.ref_image_id)
+                if need_state:
+                    assert st is not None
+                    d = rescale_nearest(st.depth, (h, w))
+                    nrm = rescale_nearest(st.normal_world, (h, w))
+                    init_pw.append(pad_hw(
+                        np.concatenate([nrm, d[..., None]], -1)))
+                    sel = rescale_nearest(st.sel_views.astype(np.uint8),
+                                          (h, w))
+                    sel = np.pad(sel, ((0, 0), (0, 0),
+                                       (0, V - sel.shape[-1])))
+                    init_sel.append(pad_hw(sel.astype(bool)))
+                    init_weak.append(pad_hw(
+                        rescale_nearest(st.weak, (h, w)),
+                        fill=PixelState.UNKNOWN))
+                    if static.use_radius:
+                        radius.append(pad_hw(
+                            rescale_nearest(st.radius, (h, w))))
+                elif p.ref_image_id in self.mono_planes:
+                    mp = self.mono_planes[p.ref_image_id]
+                    if mp.shape[:2] != (h, w):
+                        mp = np.stack([rescale_nearest(mp[..., i], (h, w))
+                                       for i in range(4)], -1)
+                    init_pw.append(pad_hw(mp))
+                if static.geom_consistency:
+                    sds = []
+                    for sid in pad_ids:
+                        sd = self.state.get(sid)
+                        dd = (rescale_nearest(sd.depth, (h, w))
+                              if sd is not None
+                              else np.zeros((h, w), np.float32))
+                        sds.append(pad_hw(dd))
+                    src_depths.append(np.stack(sds))
+            if init_pw and len(init_pw) == reps:
+                kw["init_plane_world"] = jnp.asarray(np.stack(init_pw))
+            if init_sel:
+                kw["init_sel"] = jnp.asarray(np.stack(init_sel))
+                kw["init_weak"] = jnp.asarray(np.stack(init_weak))
+            if radius:
+                kw["radius_map"] = jnp.asarray(np.stack(radius))
+            if src_depths:
+                kw["src_depths"] = jnp.asarray(np.stack(src_depths))
 
-        mesh = make_mesh(n_dev) if n_dev > 1 else None
         ck = (static, n_dev)
         fn = self._pass_fns.get(ck)
         if fn is None:
             fn = make_batched_pass(static, mesh)
             self._pass_fns[ck] = fn
 
-        stackc = lambda cs: jax.tree.map(lambda *xs: jnp.stack(xs), *cs)
-        args = (jnp.asarray(np.stack(ref_imgs)),
-                jnp.asarray(np.stack(src_imgs)),
-                stackc(ref_cams), stackc(src_cams), stackc(dyns),
-                jnp.stack(keys))
-        kw = {}
-        if init_pw and len(init_pw) == reps:
-            kw["init_plane_world"] = jnp.asarray(np.stack(init_pw))
-        if init_sel:
-            kw["init_sel"] = jnp.asarray(np.stack(init_sel))
-            kw["init_weak"] = jnp.asarray(np.stack(init_weak))
-        if radius:
-            kw["radius_map"] = jnp.asarray(np.stack(radius))
-        if src_depths:
-            kw["src_depths"] = jnp.asarray(np.stack(src_depths))
-        if edges:
-            kw["edge"] = jnp.asarray(np.stack(edges))
-        if labels:
-            kw["label"] = jnp.asarray(np.stack(labels))
+        args = (args_static["ref_imgs"], args_static["src_imgs"],
+                args_static["ref_cams"], args_static["src_cams"],
+                args_static["dyns"], jnp.stack(keys))
+        if args_static["edge"] is not None:
+            kw["edge"] = args_static["edge"]
+        if args_static["label"] is not None:
+            kw["label"] = args_static["label"]
         if mesh is not None:
             args = shard_problems(args, mesh)
             kw = {k: shard_problems(v, mesh) for k, v in kw.items()}
         out = fn(*args, **kw)
 
+        # ---- unbatch: per-src visibility CC cleanup stays host-side (the
+        # reference's is too, main.cpp:287-363); the cleaned masks are
+        # re-uploaded once as the next pass's init_sel so depth/normal
+        # state itself never round-trips through the host inside a round.
+        sel_clean = {}
         seen = set()
         for i, p in enumerate(plist):
             rid = p.ref_image_id
@@ -436,6 +531,7 @@ class SceneRunner:
             v = len(p.src_image_ids)
             sel = np.asarray(out.sel_views[i][:h, :w, :v])
             sel = visibility_cleanup(sel, scale_size)
+            sel_clean[rid] = (i, h, w, sel)
             self.state[rid] = ViewState(
                 depth=np.asarray(out.depth[i][:h, :w]),
                 normal_world=np.asarray(out.normal_world[i][:h, :w]),
@@ -443,6 +539,16 @@ class SceneRunner:
                 sel_views=sel,
                 radius=np.asarray(out.radius[i][:h, :w]))
             self.metrics.count("view_passes")
+
+        sel_batch = np.zeros((reps, H, W, V), bool)
+        for i, p in enumerate(plist):
+            _, h, w, sel = sel_clean[p.ref_image_id]
+            sel_batch[i, :h, :w, :sel.shape[-1]] = sel
+        sel_dev = jnp.asarray(sel_batch)
+        if mesh is not None:
+            sel_dev = shard_problems(sel_dev, mesh)
+        self._dev = {"layout": layout, "out": out, "sel_clean": sel_dev,
+                     "args": args_static}
 
     def write_benchmark_outputs(self, out_root: Path, view_ids=None) -> None:
         """Final-pass benchmark-format outputs per view (the reference's
@@ -517,6 +623,7 @@ class SceneRunner:
         progress = out_root / "progress.json"
         if not progress.exists():
             return 0
+        self._dev = None          # host state supersedes device-resident
         meta = json.loads(progress.read_text())
         for rid in meta["view_ids"]:
             d = out_root / format_index(rid)
