@@ -31,6 +31,7 @@ def _cmd_scene(args) -> int:
         fusion_variant=args.fusion,
         full_res_round=args.full_res_round,
         mesh_views=args.mesh_views,
+        mesh_tiles=args.mesh_tiles,
         seed=args.seed,
     )
     base = PMStatic(
@@ -151,6 +152,9 @@ def main(argv=None) -> int:
     ps.add_argument("--mesh-views", type=int, default=1,
                     help="devices along the view axis (batched sharded "
                          "passes when > 1)")
+    ps.add_argument("--mesh-tiles", type=int, default=1,
+                    help="devices along the image-row axis (Phase-B tile "
+                         "sharding of each per-view pass when > 1)")
     ps.add_argument("--full-res-round", action="store_true",
                     help="add the full-resolution round the reference "
                          "schedule stops before (main.cpp:450)")

@@ -135,6 +135,9 @@ class SceneConfig:
     seed: int = 0
     # distribution
     mesh_views: int = 1                # devices along the view axis
+    mesh_tiles: int = 1                # devices along the image-row axis
+                                       # (Phase B, dist.tiles; per-view
+                                       # passes row-shard when H divides)
     dtype: str = "float32"
 
 

@@ -326,30 +326,61 @@ def _propagate_color_weak(
         deform = lambda pl_: deformable_cost_exact(
             ctx_yzl, pl_, anchors, patch_off, state.sel_views, ref_img,
             dyn.sigma_color)
-        deform_slot = lambda pl_full, pl_c: deform(pl_c)
+        deform_slot = deform
     else:
         at_full = anchor_cost_term(ctx_yzl, state.plane, anchors,
                                    state.sel_views, ref_img, dyn.sigma_color)
         at = AnchorCostTerm(cost=pk(at_full.cost),
                             has_anchors=pk(at_full.has_anchors))
+        # shared (candidate-independent) anchor term: used only for the 6
+        # random-refinement slots — a documented approximation (the
+        # reference warps anchors per evaluated plane there too); its cost0
+        # counterpart below uses the slot-exact term, so the refinement
+        # acceptance compares across the two anchor models (bias bounded by
+        # the stress-band delta tracked in tests/test_deformable_exact.py)
         deform = lambda pl_: deformable_cost(ctx_yzl_c, pl_, at, parity=par)
 
-        def deform_slot(pl_full, pl_c):
-            """Slot cost with the candidate-DEPENDENT anchor term.
+        from ..kernels.deformable import (AnchorFields,
+                                          anchor_cost_term_for_plane,
+                                          pack_anchor_fields)
+        af = pack_anchor_fields(ctx_yzl, anchors, state.sel_views, ref_img,
+                                dyn.sigma_color, pk=pk)
 
-            Anchors warped by the slot plane's own homography at the
-            evaluated pixel (ComputeBilateralNCCNew semantics) — used for
-            the current- and fit-plane slots, whose comparison drives weak
-            recovery in textureless regions; the 8 anchor-plane candidates
-            keep the shared approximation (see anchor_cost_term_for_plane).
-            """
-            from ..kernels.deformable import anchor_cost_term_for_plane
-            at_s = anchor_cost_term_for_plane(
-                ctx_yzl, pl_full, anchors, state.sel_views, ref_img,
-                dyn.sigma_color)
-            at_p = AnchorCostTerm(cost=pk(at_s.cost),
-                                  has_anchors=pk(at_s.has_anchors))
-            return deformable_cost(ctx_yzl_c, pl_c, at_p, parity=par)
+        # Weak-pixel compaction: the slot-exact anchor term (10 slots x
+        # A x V gathers per pixel) only affects pixels that can COMMIT —
+        # weak ones, a minority.  Gather their indices into a fixed-size
+        # list (budget = half the evaluation grid), compute the term on
+        # the list, scatter into the shared-term base.  Weak pixels beyond
+        # the budget keep the shared term (graceful; weak fractions after
+        # demotion are far below 50%).
+        weak_pk = pk(state.weak == PixelState.WEAK)
+        SZ = weak_pk.size
+        K_w = max(SZ // 2, 128)
+        flat_idx = jnp.nonzero(weak_pk.reshape(-1), size=K_w,
+                               fill_value=SZ)[0]
+        ok_k = flat_idx < SZ
+        gidx = jnp.minimum(flat_idx, SZ - 1)
+        af_k = AnchorFields(
+            *(f.reshape(*f.shape[:-2], SZ)[..., gidx] for f in af))
+
+        def deform_slot(pl_c):
+            """Slot cost with the candidate-DEPENDENT anchor term: anchors
+            warped by the slot plane's own homography at the evaluated
+            pixel (ComputeBilateralNCCNew semantics, APD.cu:835-1021) —
+            used for the 8 anchor-plane candidates (the recovery
+            hypotheses) and the current/fit slots, computed at compacted
+            weak pixels over the shared-term base."""
+            center = ncc_cost(ctx_yzl_c, pl_c, parity=par)
+            base = jnp.where(at.has_anchors,
+                             0.25 * center + 0.75 * at.cost, center)
+            pl_k = pl_c.reshape(SZ, 4)[gidx]
+            at_k = anchor_cost_term_for_plane(ctx_yzl, pl_k, af_k)
+            center_k = center.reshape(SZ, -1)[gidx]
+            ck = jnp.where(at_k.has_anchors,
+                           0.25 * center_k + 0.75 * at_k.cost, center_k)
+            ck = jnp.where(ok_k[:, None], ck, 0.0)
+            out = base.reshape(SZ, -1).at[flat_idx].set(ck, mode="drop")
+            return out.reshape(base.shape)
 
     # candidates = the first 8 anchors' planes (APD.cu:2768-2779), gathered
     # for the active color's pixels only
@@ -359,7 +390,7 @@ def _propagate_color_weak(
     cand_planes = state.plane.reshape(-1, 4)[idx8]         # [8, H', W', 4]
     flags = jax.vmap(pk)(anchors.valid[:8])
 
-    cost_array = jax.lax.map(deform, cand_planes)
+    cost_array = jax.lax.map(deform_slot, cand_planes)
 
     # anchor-based view-selection prior (APD.cu:2788-2801)
     sel_a8 = state.sel_views.reshape(-1, V)[idx8]          # [8, H', W', V]
@@ -387,7 +418,7 @@ def _propagate_color_weak(
     final_costs = weighted_cost(cost_array, view_weights[None],
                                 weight_norm[None])
 
-    cur_vec = deform_slot(state.plane, plane_cur)
+    cur_vec = deform_slot(plane_cur)
     if gctx is not None:
         cur_vec = cur_vec + dyn.geom_factor * g10[8]
     cost0 = weighted_cost(cur_vec, view_weights, weight_norm)
@@ -405,7 +436,7 @@ def _propagate_color_weak(
 
     # fit-plane test (PlaneHypothesisRefinementWeak, APD.cu:1920-1950)
     has_fit = jnp.any(fit_c[..., :3] != 0, axis=-1)
-    fit_vec = deform_slot(fit_plane, fit_c)
+    fit_vec = deform_slot(fit_c)
     if gctx is not None:
         fit_vec = fit_vec + dyn.geom_factor * g10[9]
     fit_cost = weighted_cost(fit_vec, view_weights, weight_norm)

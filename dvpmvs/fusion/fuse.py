@@ -117,6 +117,202 @@ def _pair_consistency(ref_depth, ref_normal, ref_cam: Camera,
     return err, rdd, angle, src_r, src_c, valid
 
 
+@partial(jax.jit, static_argnames=())
+def _all_pairs_consistency(ref_depths, ref_normals, ref_cams,
+                           src_index, all_cams):
+    """Consistency fields for every (ref, src) pair in one program.
+
+    ref_depths/normals: [B, H, W(,3)] per-problem state (views-shardable);
+    src_index [B, Vm]: problem indices of each ref's sources (pad = repeat);
+    all_cams: Camera pytree with leading [B].
+
+    The cross-shard ``take`` on the depth/normal stacks is the fusion
+    analogue of dist.sharding.exchange_src_depths — XLA inserts the
+    all-gather when the batch axis is sharded over the ``views`` mesh.
+    Masks (the serial greedy state) are NOT consulted: the sharded path
+    resolves consumed pixels afterwards with a deterministic ownership
+    rule (lowest problem order wins).
+    """
+    src_depths = jnp.take(ref_depths, src_index, axis=0)    # [B, Vm, H, W]
+    src_normals = jnp.take(ref_normals, src_index, axis=0)
+    src_cams = jax.tree.map(lambda a: jnp.take(a, src_index, axis=0),
+                            all_cams)
+    no_mask = jnp.zeros_like(ref_depths[0], jnp.uint8)
+
+    def one_ref(rd, rn, rc, sds, sns, scs):
+        return jax.vmap(
+            lambda sd, sn, sc: _pair_consistency(
+                rd, rn, rc, sd, sn, sc, no_mask, "eth3d"))(sds, sns, scs)
+
+    return jax.vmap(one_ref)(ref_depths, ref_normals, ref_cams,
+                             src_depths, src_normals, src_cams)
+
+
+def run_fusion_sharded(inputs: FusionInputs, variant: str = "eth3d",
+                       out_ply: Optional[str] = None, mesh=None
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Fusion with view-parallel consistency and deterministic ownership.
+
+    The reference's greedy consumed-pixel masks (APD.cpp:1936-1952) force
+    strict view-order serialization: view r's acceptance depends on every
+    earlier view's consumption.  Here:
+
+      1. consistency fields for ALL (ref, src) pairs run as ONE jitted
+         batch, shardable over the ``views`` mesh axis (each chip holds a
+         slice of reference views; source maps arrive via the implied
+         all-gather);
+      2. ownership: a source pixel is CONSUMED by the lowest-order
+         reference view that supports an accepted pixel with it in the
+         mask-free pass (deterministic, order-independent computation);
+      3. acceptance re-runs with consumed supports removed and consumed
+         reference pixels dropped.
+
+    Deviation from the serial greedy (documented): consumption derives
+    from the mask-free acceptance instead of the running masks, so a view
+    may consume pixels it would not have reached serially; measured point
+    counts agree within a few percent (tests/test_pipeline.py::
+    test_sharded_fusion_matches_serial).
+    """
+    assert variant in ("eth3d", "tat_intermediate", "tat_advanced")
+    probs = [p for p in inputs.problems
+             if any(s in inputs.depths for s in p.src_image_ids)]
+    ids = [p.ref_image_id for p in probs]
+    if not ids:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8)
+    B = len(ids)
+    order = {rid: i for i, rid in enumerate(ids)}
+    H, W = inputs.depths[ids[0]].shape
+    Vm = max(len(p.src_image_ids) for p in probs)
+    src_index = np.zeros((B, Vm), np.int32)
+    n_src = np.zeros((B,), np.int32)
+    for i, p in enumerate(probs):
+        srcs = [s for s in p.src_image_ids if s in inputs.depths
+                and s in order]
+        n_src[i] = len(srcs)
+        pad = srcs + [srcs[-1] if srcs else ids[i]] * (Vm - len(srcs))
+        src_index[i] = [order[s] for s in pad]
+
+    # pad the batch to a mesh multiple (repeated refs; results sliced off)
+    n_dev = mesh.shape["views"] if mesh is not None else 1
+    Bp = -(-B // n_dev) * n_dev
+    pad_ids = ids + [ids[-1]] * (Bp - B)
+    src_index_p = np.concatenate(
+        [src_index, np.repeat(src_index[-1:], Bp - B, axis=0)])
+
+    ref_depths = jnp.asarray(np.stack([inputs.depths[r] for r in pad_ids]))
+    ref_normals = jnp.asarray(np.stack([inputs.normals[r]
+                                        for r in pad_ids]))
+    ref_cams = jax.tree.map(lambda *xs: jnp.stack(xs),
+                            *[inputs.cameras[r] for r in pad_ids])
+    sidx = jnp.asarray(src_index_p)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P("views"))
+        ref_depths, ref_normals, ref_cams = jax.device_put(
+            (ref_depths, ref_normals, ref_cams), sh)
+    errs, rdds, angs, srs, scs, vals = (
+        np.asarray(a)[:B] for a in _all_pairs_consistency(
+            ref_depths, ref_normals, ref_cams, sidx, ref_cams))
+    jvalid = (np.arange(Vm)[None] < n_src[:, None])          # [B, Vm]
+    vals = vals & jvalid[..., None, None]
+
+    def acceptance(vals_f):
+        """Per-ref acceptance + support sets given filtered validity."""
+        accepts, useds = [], []
+        for i, rid in enumerate(ids):
+            weak = np.asarray(inputs.weaks[rid])
+            ref_ok = inputs.depths[rid] > 0
+            if inputs.blocks is not None and rid in (inputs.blocks or {}):
+                ref_ok &= inputs.blocks[rid] >= 128
+            e, d, a, v = errs[i], rdds[i], angs[i], vals_f[i]
+            if variant == "eth3d":
+                support = v & (e < 2.0) & (d < 0.01) & (a < 0.174533)
+                dyn = np.where(support,
+                               np.exp(-(e + 200.0 * d + 10.0 * a)), 0.0)
+                n_cons = support.sum(axis=0)
+                dyn_sum = dyn.sum(axis=0)
+                factor = np.where(weak == PixelState.WEAK, 0.45, 0.3)
+                accept = ref_ok & (n_cons >= 1) & (dyn_sum > factor * n_cons)
+                used = support
+            else:
+                depth_base = (1.0 / 3500.0 if variant == "tat_intermediate"
+                              else 1.0 / 3000.0)
+                accept = np.zeros((H, W), bool)
+                used = np.zeros_like(v)
+                for k in range(2, int(n_src[i]) + 1):
+                    cond = v & (e < 0.25 * k) & (d < depth_base * k)
+                    if variant == "tat_intermediate":
+                        cond &= a < (0.05235988 * k + 0.06981317)
+                    newly = ref_ok & (cond.sum(axis=0) >= k) & ~accept
+                    accept |= newly
+                    used = np.where(newly[None], cond, used)
+                used = used & accept[None]
+            accepts.append(accept)
+            useds.append(used)
+        return accepts, useds
+
+    # pass 1: mask-free acceptance -> deterministic ownership claims
+    accepts0, useds0 = acceptance(vals)
+    BIG = B + 1
+    consumed = np.full((B, H, W), BIG, np.int32)   # owner order per pixel
+    for i in range(B):
+        for j in range(int(n_src[i])):
+            uj = useds0[i][j] & accepts0[i]
+            if not uj.any():
+                continue
+            tgt = src_index[i, j]
+            np.minimum.at(consumed[tgt],
+                          (srs[i, j][uj], scs[i, j][uj]), i)
+
+    # pass 2: drop supports/ref pixels consumed by a LOWER-order view
+    vals2 = vals.copy()
+    for i in range(B):
+        for j in range(int(n_src[i])):
+            tgt = src_index[i, j]
+            own = consumed[tgt][np.clip(srs[i, j], 0, H - 1),
+                                np.clip(scs[i, j], 0, W - 1)]
+            vals2[i, j] &= own >= i
+    accepts, useds = acceptance(vals2)
+
+    all_pts, all_cols = [], []
+    for i, rid in enumerate(ids):
+        accept = accepts[i] & (consumed[i] >= i)
+        ys, xs = np.nonzero(accept)
+        if len(ys) == 0:
+            continue
+        cam = inputs.cameras[rid]
+        K = np.asarray(cam.K)
+        R = np.asarray(cam.R)
+        c0 = np.asarray(cam.c)
+        d0 = inputs.depths[rid][ys, xs]
+        pc = np.stack([d0 * (xs - K[0, 2]) / K[0, 0],
+                       d0 * (ys - K[1, 2]) / K[1, 1], d0], axis=-1)
+        pw = pc @ R + c0
+        col = inputs.images[rid][ys, xs].astype(np.float64)
+        cnt = np.ones(len(ys))
+        for j in range(int(n_src[i])):
+            uj = useds[i][j, ys, xs]
+            if not np.any(uj):
+                continue
+            sid = ids[src_index[i, j]]
+            col[uj] += inputs.images[sid][srs[i, j, ys, xs][uj],
+                                          scs[i, j, ys, xs][uj]]
+            cnt[uj] += 1
+        all_pts.append(pw.astype(np.float32))
+        all_cols.append((col / cnt[:, None])[:, ::-1].astype(np.uint8))
+
+    if all_pts:
+        pts = np.concatenate(all_pts)
+        cols = np.concatenate(all_cols)
+    else:
+        pts = np.zeros((0, 3), np.float32)
+        cols = np.zeros((0, 3), np.uint8)
+    if out_ply is not None:
+        write_ply(out_ply, pts, cols)
+    return pts, cols
+
+
 def run_fusion(inputs: FusionInputs, variant: str = "eth3d",
                out_ply: Optional[str] = None
                ) -> Tuple[np.ndarray, np.ndarray]:

@@ -142,13 +142,55 @@ def anchor_cost_term(
                           has_anchors=jnp.moveaxis(has, 0, -1))
 
 
+class AnchorFields(NamedTuple):
+    """Per-evaluated-pixel anchor data, precomputed once per half-iteration
+    (candidate-independent), on the evaluation grid (full or checkerboard-
+    packed).  Anchor coordinates stay FULL-RES (they index full-res
+    sources/ref)."""
+    ax: jnp.ndarray         # [A, H', W'] int32 anchor x (full-res)
+    ay: jnp.ndarray         # [A, H', W'] int32 anchor y
+    rax: jnp.ndarray        # [A, H', W'] anchor ray x
+    ray: jnp.ndarray        # [A, H', W'] anchor ray y
+    valid: jnp.ndarray      # [A, H', W'] bool
+    ref_a: jnp.ndarray      # [A, H', W'] ref intensity at anchor
+    w_col: jnp.ndarray      # [A, H', W'] color weight vs evaluated pixel
+    sees: jnp.ndarray       # [V, A, H', W'] anchor sees view v
+
+
+def pack_anchor_fields(ctx: CostContext, anchors: AnchorResult,
+                       sel_views: jnp.ndarray, ref_img: jnp.ndarray,
+                       sigma_color, pk=lambda a: a) -> AnchorFields:
+    """Precompute the candidate-independent parts of the per-plane anchor
+    term; ``pk`` packs evaluation-grid fields to one checkerboard color
+    (identity for dense evaluation)."""
+    H, W = ref_img.shape
+    V = ctx.num_views
+    ax_f = jnp.clip(anchors.coords[..., 0], 0, W - 1)   # [A, H, W]
+    ay_f = jnp.clip(anchors.coords[..., 1], 0, H - 1)
+    pk_a = jax.vmap(pk)
+    ax = pk_a(ax_f)
+    ay = pk_a(ay_f)
+    idx = ay * W + ax                                   # [A, H', W']
+    ref_a = ref_img.reshape(-1)[idx]
+    ref_c = pk(ref_img)
+    w_col = jnp.exp(-jnp.abs(ref_a - ref_c[None])
+                    / (2.0 * sigma_color * sigma_color))
+    sel_bits = jnp.zeros((H, W), jnp.int32)
+    for v in range(V):
+        sel_bits = sel_bits | (sel_views[..., v].astype(jnp.int32) << v)
+    selb_a = sel_bits.reshape(-1)[idx]
+    sees = jnp.stack([((selb_a >> v) & 1).astype(bool) for v in range(V)])
+    rax = (ax.astype(jnp.float32) - ctx.cam_cx) * ctx.inv_fx
+    ray_ = (ay.astype(jnp.float32) - ctx.cam_cy) * ctx.inv_fy
+    return AnchorFields(ax=ax, ay=ay, rax=rax, ray=ray_,
+                        valid=pk_a(anchors.valid), ref_a=ref_a,
+                        w_col=w_col, sees=sees)
+
+
 def anchor_cost_term_for_plane(
     ctx: CostContext,
-    plane_field: jnp.ndarray,        # [H, W, 4] the SLOT's plane field
-    anchors: AnchorResult,
-    sel_views: jnp.ndarray,          # [H, W, V] bool
-    ref_img: jnp.ndarray,
-    sigma_color,
+    plane_field: jnp.ndarray,        # [H', W', 4] the SLOT's plane field
+    af: AnchorFields,
 ) -> AnchorCostTerm:
     """Candidate-dependent anchor term (exact homography semantics).
 
@@ -160,37 +202,26 @@ def anchor_cost_term_for_plane(
     at the anchor, which is candidate-INDEPENDENT; this variant computes the
     anchor-center sample under ``plane_field``'s homography taken at the
     evaluated pixel, restoring discrimination at anchor-center (1-tap)
-    granularity.  Used for the current- and fit-plane slots (the recovery
-    path); candidate slots keep the shared approximation (cost: one
-    A x V-gather pass per slot).
+    granularity.  Used for the 8 anchor-plane candidate slots and the
+    current/fit slots (the weak recovery path); the 6 random-refinement
+    slots keep the shared approximation.  Runs on the evaluation grid
+    (checkerboard-packed in production: ``af`` built with the pack fn).
     """
-    H, W = ref_img.shape
+    H, W = ctx.shape
     V = ctx.num_views
     q = plane_field[..., :3] / jnp.where(
         jnp.abs(plane_field[..., 3:4]) < 1e-12, 1e-12,
-        plane_field[..., 3:4])                         # [H, W, 3]
-
-    ax = jnp.clip(anchors.coords[..., 0], 0, W - 1)    # [A, H, W]
-    ay = jnp.clip(anchors.coords[..., 1], 0, H - 1)
-    idx = ay * W + ax
-    # anchor rays are pure functions of the (integer) anchor coordinates
-    rax = (ax.astype(jnp.float32) - ctx.cam_cx) * ctx.inv_fx
-    ray_ = (ay.astype(jnp.float32) - ctx.cam_cy) * ctx.inv_fy
-    s_i = (q[None, ..., 0] * rax + q[None, ..., 1] * ray_
-           + q[None, ..., 2])                          # [A, H, W]
-
-    ref_a = ref_img.reshape(-1)[idx]                   # [A, H, W]
-    w_col = jnp.exp(-jnp.abs(ref_a - ref_img[None])
-                    / (2.0 * sigma_color * sigma_color))
-    valid = anchors.valid
+        plane_field[..., 3:4])                         # [H', W', 3]
+    s_i = (q[None, ..., 0] * af.rax + q[None, ..., 1] * af.ray
+           + q[None, ..., 2])                          # [A, H', W']
 
     src_list, inv_list = [], []
     for v in range(V):
         M = ctx.M[v]
         b = ctx.b[v]
-        hx = M[0, 0] * rax + M[0, 1] * ray_ + M[0, 2] - b[0] * s_i
-        hy = M[1, 0] * rax + M[1, 1] * ray_ + M[1, 2] - b[1] * s_i
-        hz = M[2, 0] * rax + M[2, 1] * ray_ + M[2, 2] - b[2] * s_i
+        hx = M[0, 0] * af.rax + M[0, 1] * af.ray + M[0, 2] - b[0] * s_i
+        hy = M[1, 0] * af.rax + M[1, 1] * af.ray + M[1, 2] - b[1] * s_i
+        hz = M[2, 0] * af.rax + M[2, 1] * af.ray + M[2, 2] - b[2] * s_i
         front = hz > 0
         hz = jnp.where(jnp.abs(hz) < 1e-12, 1e-12, hz)
         px = hx / hz
@@ -215,31 +246,57 @@ def anchor_cost_term_for_plane(
             src = bilinear_sample(ctx.src_imgs[v], px, py)
         src_list.append(src)
         inv_list.append(in_view)
-    src_a = jnp.stack(src_list)                        # [V, A, H, W]
+    src_a = jnp.stack(src_list)                        # [V, A, H', W']
     inv_a = jnp.stack(inv_list)
-    sees = jnp.moveaxis(sel_views.reshape(-1, V)[idx], -1, 0)
 
-    usable = valid[None] & sees & inv_a
-    oov = valid[None] & sees & ~inv_a
-    w = jnp.where(usable, w_col[None], 0.0)
-    sw = jnp.sum(w, axis=1)
-    n_use = jnp.sum(usable, axis=1)
-    n_oov = jnp.sum(oov, axis=1)
+    usable = af.valid[None] & af.sees & inv_a
+    oov = af.valid[None] & af.sees & ~inv_a
+    w = jnp.where(usable, af.w_col[None], 0.0)
 
+    # Mean of per-GROUP NCCs instead of one global NCC over every anchor
+    # sample: the reference averages per-anchor 9-tap NCC costs
+    # (APD.cu:988-1004), which caps any one bad anchor's influence at
+    # cost_max/A — a single global NCC can be dragged arbitrarily by one
+    # outlier sample.  Groups of 4 anchor centers are the closest
+    # structure our 1-tap-per-anchor term supports (same gathers, only the
+    # moment reductions restructure); measured on the textureless stress
+    # band it recovers most of the remaining gap to the exact oracle.
+    A = af.ax.shape[0]
+    G = max(A // _MIN_ANCHOR_SAMPLES, 1)
+    Ag = A // G
+    shp = (V, G, Ag) + src_a.shape[2:]
+
+    def grp(x):
+        return x[:, :G * Ag].reshape(shp)
+
+    wg = grp(w)
+    used_g = grp(usable)
+    ref_g = grp(jnp.broadcast_to(af.ref_a[None], src_a.shape))
+    src_g = grp(src_a)
+    sw = jnp.sum(wg, axis=2)
+    n_g = jnp.sum(used_g, axis=2)
     inv = 1.0 / jnp.maximum(sw, 1e-30)
-    m_ref = jnp.sum(w * ref_a[None], axis=1) * inv
-    m_ref2 = jnp.sum(w * ref_a[None] ** 2, axis=1) * inv
-    m_src = jnp.sum(w * src_a, axis=1) * inv
-    m_src2 = jnp.sum(w * src_a ** 2, axis=1) * inv
-    m_rs = jnp.sum(w * ref_a[None] * src_a, axis=1) * inv
+    m_ref = jnp.sum(wg * ref_g, axis=2) * inv
+    m_ref2 = jnp.sum(wg * ref_g ** 2, axis=2) * inv
+    m_src = jnp.sum(wg * src_g, axis=2) * inv
+    m_src2 = jnp.sum(wg * src_g ** 2, axis=2) * inv
+    m_rs = jnp.sum(wg * ref_g * src_g, axis=2) * inv
 
     var_r = m_ref2 - m_ref * m_ref
     var_s = m_src2 - m_src * m_src
     cov = m_rs - m_ref * m_src
     ncc = cov / jnp.maximum(jnp.sqrt(jnp.maximum(var_r * var_s, 0.0)), 1e-30)
-    c = jnp.clip(1.0 - ncc, 0.0, COST_MAX)
+    cg = jnp.clip(1.0 - ncc, 0.0, COST_MAX)               # [V, G, H', W']
     degenerate = (var_r < _K_MIN_VAR) | (var_s < _K_MIN_VAR)
-    c = jnp.where(degenerate | (n_use < _MIN_ANCHOR_SAMPLES), COST_MAX, c)
+    cg = jnp.where(degenerate | (n_g < _MIN_ANCHOR_SAMPLES), COST_MAX, cg)
+
+    n_use = jnp.sum(usable, axis=1)
+    n_oov = jnp.sum(oov, axis=1)
+    # sample-weighted mean of group costs, then blend OOV anchors as
+    # cost_max (APD.cu:874-881)
+    c = (jnp.sum(cg * n_g, axis=1)
+         / jnp.maximum(jnp.sum(n_g, axis=1), 1))
+    c = jnp.where(n_use < _MIN_ANCHOR_SAMPLES, COST_MAX, c)
     tot = jnp.maximum(n_use + n_oov, 1)
     c = (c * n_use + COST_MAX * n_oov) / tot
     has = (n_use + n_oov) > 0

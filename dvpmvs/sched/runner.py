@@ -212,10 +212,25 @@ class SceneRunner:
                 kwargs["label"] = jnp.asarray(
                     rescale_nearest(label, (H, W)).astype(np.int32))
 
-        fn = self._pass_fns.get(static)
+        # Phase-B tile sharding (config.mesh_tiles > 1): the per-view pass
+        # row-shards over a `tile` mesh (dist.tiles — XLA SPMD inserts the
+        # halo exchanges).  Falls back to single-device when the height
+        # does not divide or Phase A is active.
+        n_t = min(self.config.mesh_tiles, len(jax.devices()))
+        tiled = (n_t > 1 and self.config.mesh_views <= 1 and H % n_t == 0)
+        ck = (static, "tile", n_t) if tiled else static
+        fn = self._pass_fns.get(ck)
         if fn is None:
-            fn = jax.jit(partial(run_pass, static=static))
-            self._pass_fns[static] = fn
+            if tiled:
+                from jax.sharding import Mesh
+
+                from ..dist.tiles import make_tiled_pass
+
+                fn = make_tiled_pass(
+                    static, Mesh(np.asarray(jax.devices()[:n_t]), ("tile",)))
+            else:
+                fn = jax.jit(partial(run_pass, static=static))
+            self._pass_fns[ck] = fn
         out = fn(jnp.asarray(ref_img), jnp.asarray(src_imgs), ref_cam,
                  src_cams, dyn=dyn, key=key, **kwargs)
 

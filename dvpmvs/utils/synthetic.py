@@ -70,8 +70,15 @@ def make_scene(
     seed: int = 0,
     weak_disc: bool = False,
     sphere: bool = False,
+    noise: float = 0.0,
 ) -> SyntheticScene:
-    """Build a room-corner scene viewed by a small camera arc."""
+    """Build a room-corner scene viewed by a small camera arc.
+
+    ``noise`` > 0 applies per-view radiometric perturbation (gain/bias plus
+    additive gaussian pixel noise of that sigma, in 0..255 units) — breaks
+    the perfect photoconsistency of the procedural texture so accuracy
+    claims survive contact with real sensors (round-2 verdict item 7).
+    """
     rng = np.random.default_rng(seed)
 
     # World: three planes forming a shallow corner ~3..5 units away.
@@ -155,7 +162,14 @@ def make_scene(
             d2 = np.sum((X - np.array([cx0, cy0, cz0])) ** 2, axis=-1)
             amp = np.where(d2 < 0.8 ** 2, 0.0, 1.0)
 
-        images[v] = _texture(X, phases, amp)
+        img = _texture(X, phases, amp)
+        if noise > 0.0:
+            gain = 1.0 + rng.normal() * 0.05
+            bias = rng.normal() * 2.0 * noise
+            img = np.clip(img * gain + bias
+                          + rng.normal(size=img.shape) * noise,
+                          0.0, 255.0).astype(np.float32)
+        images[v] = img
         gt_depth[v] = depth.astype(np.float32)
         # camera-frame normals, oriented toward the camera (n.ray <= 0)
         n_cam = normal_w @ R.T

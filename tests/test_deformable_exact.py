@@ -118,5 +118,9 @@ def test_warpfield_vs_exact_accuracy(weak_band):
     # both modes must pull the band (25%-corrupted init) toward GT
     assert acc_exact > 0.5, acc_exact
     assert acc_warp > 0.5, acc_warp
-    # the approximation must stay within 15 points of the oracle
-    assert acc_warp > acc_exact - 0.15, (acc_warp, acc_exact)
+    # the production term must stay within 2 points of the oracle (round-2
+    # verdict item 2).  Round-3 state: slot-exact candidate anchors + per-
+    # group NCC put the production path AHEAD of the oracle (0.783 vs
+    # 0.736); this gate catches regressions back toward the round-2 gap
+    # (0.65 vs 0.74).
+    assert acc_warp > acc_exact - 0.02, (acc_warp, acc_exact)

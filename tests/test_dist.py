@@ -96,6 +96,40 @@ def test_device_resident_geom_pass_matches_host(tmp_path):
                                       rb.state[v].sel_views)
 
 
+@pytest.mark.slow
+def test_runner_mesh_tiles_matches_untiled(tmp_path):
+    """SceneRunner with config.mesh_tiles=2 (the --mesh-tiles CLI path)
+    must reproduce the untiled schedule statistically (float reassociation
+    only) — VERDICT r2 item 8."""
+    from dvpmvs.config import PMStatic, SceneConfig
+    from dvpmvs.io import load_scene
+    from dvpmvs.sched import SceneRunner
+    from dvpmvs.utils.synthetic import make_scene, write_scene_dir
+
+    scene_s = make_scene(num_views=3, height=32, width=48, seed=8)
+    folder = write_scene_dir(scene_s, tmp_path / "dense")
+    static = PMStatic(max_iterations=1, cost_backend="exact",
+                      use_edge=False, extend_rounds=0, use_label=False)
+    key = jax.random.PRNGKey(0)
+
+    def run(n_tiles):
+        r = SceneRunner(load_scene(folder, max_src_views=2),
+                        SceneConfig(geometric_passes=1, seed=0,
+                                    mesh_tiles=n_tiles),
+                        base_static=static, verbose=False)
+        r.run_schedule_pass(0, 0, key)
+        r.run_schedule_pass(0, 1, key)
+        return r
+
+    ra, rb = run(2), run(1)
+    for v in ra.state:
+        d1 = ra.state[v].depth
+        d2 = rb.state[v].depth
+        rel = np.abs(d1 - d2) / np.maximum(np.abs(d2), 1e-6)
+        assert np.mean(rel > 1e-3) < 0.01, v
+        assert (ra.state[v].weak == rb.state[v].weak).mean() > 0.98
+
+
 def test_mesh2_composition():
     mesh = make_mesh2(2, 4)
     assert mesh.shape == {"views": 2, "tile": 4}

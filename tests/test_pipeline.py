@@ -88,6 +88,28 @@ def test_fusion_gt_inputs_dense(fused):
     assert len(pts_a) > 100
 
 
+def test_sharded_fusion_matches_serial(fused):
+    """The deterministic-ownership parallel fusion must reproduce the
+    serial greedy variant's cloud up to the documented consumption
+    deviation: point count within 10%, and every point near a GT plane
+    (VERDICT r2 item 6; reference serialization APD.cpp:1936-1952)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from dvpmvs.fusion import run_fusion_sharded
+
+    scene_s, runner, pts_serial, *_ = fused
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("views",))
+    pts, cols = run_fusion_sharded(runner.fusion_inputs(), "eth3d",
+                                   mesh=mesh)
+    n_s, n_p = len(pts_serial), len(pts)
+    assert abs(n_p - n_s) <= max(0.1 * n_s, 20), (n_p, n_s)
+    d = np.abs(pts @ scene_s.planes_n.T + scene_s.planes_d[None]).min(1)
+    assert np.median(d) < 0.06
+    assert cols.shape == pts.shape and cols.dtype == np.uint8
+
+
 def test_checkpoint_files(fused):
     *_, tmp = fused
     from dvpmvs.io import read_bin_mat
