@@ -41,8 +41,7 @@ import jax.numpy as jnp
 from ..config import PMDynamic, PMStatic, PixelState, RunState
 from ..geometry.camera import Camera
 from ..geometry.transforms import depth_from_plane, plane_from_world
-from ..kernels.deformable import (anchor_cost_term, deformable_cost,
-                                  deformable_cost_exact)
+from ..kernels.deformable import anchor_cost_term, deformable_cost_exact
 from ..kernels.geom import GeomContext, build_geom_context, geom_consistency_cost
 from ..kernels.median import median_filter_depth
 from ..kernels.ncc import (COST_MAX, CostContext, build_cost_context,
@@ -328,17 +327,17 @@ def _propagate_color_weak(
             dyn.sigma_color)
         deform_slot = deform
     else:
+        # shared (candidate-independent) anchor term: used only for the 6
+        # random-refinement slots — a documented approximation (the
+        # reference warps anchors per evaluated plane there too; measured
+        # protective against 12-sample NCC noise on random planes); its
+        # cost0 counterpart uses the slot-exact term, so the refinement
+        # acceptance compares across the two anchor models (bias bounded
+        # by the stress-band delta in tests/test_deformable_exact.py)
         at_full = anchor_cost_term(ctx_yzl, state.plane, anchors,
                                    state.sel_views, ref_img, dyn.sigma_color)
         at = AnchorCostTerm(cost=pk(at_full.cost),
                             has_anchors=pk(at_full.has_anchors))
-        # shared (candidate-independent) anchor term: used only for the 6
-        # random-refinement slots — a documented approximation (the
-        # reference warps anchors per evaluated plane there too); its cost0
-        # counterpart below uses the slot-exact term, so the refinement
-        # acceptance compares across the two anchor models (bias bounded by
-        # the stress-band delta tracked in tests/test_deformable_exact.py)
-        deform = lambda pl_: deformable_cost(ctx_yzl_c, pl_, at, parity=par)
 
         from ..kernels.deformable import (AnchorFields,
                                           anchor_cost_term_for_plane,
@@ -363,23 +362,29 @@ def _propagate_color_weak(
         af_k = AnchorFields(
             *(f.reshape(*f.shape[:-2], SZ)[..., gidx] for f in af))
 
-        def deform_slot(pl_c):
-            """Slot cost with the candidate-DEPENDENT anchor term: anchors
-            warped by the slot plane's own homography at the evaluated
+        def deform_slots_batched(slot_planes):
+            """Slot costs with the candidate-DEPENDENT anchor term: anchors
+            warped by each slot plane's own homography at the evaluated
             pixel (ComputeBilateralNCCNew semantics, APD.cu:835-1021) —
             used for the 8 anchor-plane candidates (the recovery
-            hypotheses) and the current/fit slots, computed at compacted
-            weak pixels over the shared-term base."""
-            center = ncc_cost(ctx_yzl_c, pl_c, parity=par)
-            base = jnp.where(at.has_anchors,
-                             0.25 * center + 0.75 * at.cost, center)
-            pl_k = pl_c.reshape(SZ, 4)[gidx]
-            at_k = anchor_cost_term_for_plane(ctx_yzl, pl_k, af_k)
-            center_k = center.reshape(SZ, -1)[gidx]
+            hypotheses) and the current/fit slots.  Center windows run as
+            ONE fused NCC batch (single-plane calls waste the kernel's
+            batch amortization); anchor terms compute at compacted weak
+            pixels over the shared-term base."""
+            S = slot_planes.shape[0]
+            centers = ncc_cost_batch(ctx_yzl_c, slot_planes, parity=par)
+            base = jnp.where(at.has_anchors[None],
+                             0.25 * centers + 0.75 * at.cost[None], centers)
+            pl_k = slot_planes.reshape(S, SZ, 4)[:, gidx]
+            at_k = jax.lax.map(
+                lambda p: anchor_cost_term_for_plane(ctx_yzl, p, af_k),
+                pl_k)
+            center_k = centers.reshape(S, SZ, -1)[:, gidx]
             ck = jnp.where(at_k.has_anchors,
                            0.25 * center_k + 0.75 * at_k.cost, center_k)
-            ck = jnp.where(ok_k[:, None], ck, 0.0)
-            out = base.reshape(SZ, -1).at[flat_idx].set(ck, mode="drop")
+            ck = jnp.where(ok_k[None, :, None], ck, 0.0)
+            out = jax.vmap(lambda b, c: b.reshape(SZ, -1)
+                           .at[flat_idx].set(c, mode="drop"))(base, ck)
             return out.reshape(base.shape)
 
     # candidates = the first 8 anchors' planes (APD.cu:2768-2779), gathered
@@ -390,7 +395,19 @@ def _propagate_color_weak(
     cand_planes = state.plane.reshape(-1, 4)[idx8]         # [8, H', W', 4]
     flags = jax.vmap(pk)(anchors.valid[:8])
 
-    cost_array = jax.lax.map(deform_slot, cand_planes)
+    xs_c, ys_c, rx_c, ry_c = pk(xs), pk(ys), pk(rx), pk(ry)
+    plane_cur = pk(state.plane)
+    sel_cur = pk(state.sel_views)
+    fit_c = pk(fit_plane)
+
+    # one batched deformable evaluation: 8 candidates + current + fit
+    slot_planes = jnp.concatenate(
+        [cand_planes, plane_cur[None], fit_c[None]])
+    if exact:
+        slot10 = jax.lax.map(deform_slot, slot_planes)
+    else:
+        slot10 = deform_slots_batched(slot_planes)
+    cost_array = slot10[:8]
 
     # anchor-based view-selection prior (APD.cu:2788-2801)
     sel_a8 = state.sel_views.reshape(-1, V)[idx8]          # [8, H', W', V]
@@ -401,24 +418,18 @@ def _propagate_color_weak(
         k_view, cost_array, flags, prior, it,
         num_samples=static.view_samples)
 
-    xs_c, ys_c, rx_c, ry_c = pk(xs), pk(ys), pk(rx), pk(ry)
-    plane_cur = pk(state.plane)
-    sel_cur = pk(state.sel_views)
-    fit_c = pk(fit_plane)
-
     if gctx is not None:
         # one batched geom eval for candidates + current + fit
         # (missing anchors cost geom_factor*3, APD.cu:2857-2868)
         g10 = _geom_batch(
-            gctx, jnp.concatenate(
-                [cand_planes, plane_cur[None], fit_c[None]]),
+            gctx, slot_planes,
             xs_c, ys_c, ref_cam, static.cost_backend, parity=par)
         g8 = jnp.where(flags[..., None], g10[:8], 3.0)
         cost_array = cost_array + dyn.geom_factor * g8
     final_costs = weighted_cost(cost_array, view_weights[None],
                                 weight_norm[None])
 
-    cur_vec = deform_slot(plane_cur)
+    cur_vec = slot10[8]
     if gctx is not None:
         cur_vec = cur_vec + dyn.geom_factor * g10[8]
     cost0 = weighted_cost(cur_vec, view_weights, weight_norm)
@@ -436,7 +447,7 @@ def _propagate_color_weak(
 
     # fit-plane test (PlaneHypothesisRefinementWeak, APD.cu:1920-1950)
     has_fit = jnp.any(fit_c[..., :3] != 0, axis=-1)
-    fit_vec = deform_slot(fit_c)
+    fit_vec = slot10[9]
     if gctx is not None:
         fit_vec = fit_vec + dyn.geom_factor * g10[9]
     fit_cost = weighted_cost(fit_vec, view_weights, weight_norm)
@@ -451,7 +462,14 @@ def _propagate_color_weak(
     ref_planes = refinement_planes(
         k_refine, plane_now[..., :3], cur_depth, sel_now, rx_c, ry_c,
         xs_c, ys_c, ref_cam, src_cams, dyn.depth_min, dyn.depth_max)
-    ref_vec = jax.lax.map(deform, ref_planes)
+    if exact:
+        ref_vec = jax.lax.map(deform, ref_planes)
+    else:
+        # shared anchor term, but the 6 center windows as one fused batch
+        ref_centers = ncc_cost_batch(ctx_yzl_c, ref_planes, parity=par)
+        ref_vec = jnp.where(at.has_anchors[None],
+                            0.25 * ref_centers + 0.75 * at.cost[None],
+                            ref_centers)
     if gctx is not None:
         ref_vec = ref_vec + dyn.geom_factor * _geom_batch(
             gctx, ref_planes, xs_c, ys_c, ref_cam, static.cost_backend,

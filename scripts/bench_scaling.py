@@ -34,9 +34,12 @@ V = 3
 scene = make_scene(num_views=max(B, V + 1), height=H, width=W, seed=7)
 backend = "exact" if jax.default_backend() == "cpu" else "pallas"
 if MODE == "refine":
+    # the round-0 geometric pass (REFINE_ITER, geom_consistency, use_APD
+    # off — round_pass_params sets use_APD=(round>0)); the full-APD
+    # variant's 8-problem XLA CPU compile exceeds 80 min on this box
     static = PMStatic(state=RunState.REFINE_ITER, num_src=V,
                       max_iterations=ITERS, cost_backend=backend,
-                      use_APD=True, geom_consistency=True,
+                      use_APD=False, geom_consistency=True,
                       use_edge=False, use_label=False, extend_rounds=0)
 else:
     static = PMStatic(state=RunState.FIRST_INIT, num_src=V,
