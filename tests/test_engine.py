@@ -73,3 +73,69 @@ def test_pass_is_deterministic(scene, first_out):
                                   np.asarray(out2.depth))
     np.testing.assert_array_equal(np.asarray(first_out.weak),
                                   np.asarray(out2.weak))
+
+
+# ---------------------------------------------------------------------------
+# Tracked synthetic accuracy battery (round-2 verdict item 7): four scenes
+# stressing occlusion, texturelessness and radiometric noise; identical
+# shapes/statics to the fixture above, so the battery reuses its compiled
+# program via the persistent cache (this is why it lives in this file).
+H_B, W_B, NV = 96, 128, 5
+
+
+SCENES = {
+    "textured": dict(seed=2),
+    "occlusion": dict(seed=3, sphere=True),
+    "textureless": dict(seed=4, weak_disc=True),
+    "noise": dict(seed=5, noise=6.0),
+}
+
+# (acc2% floor, completeness floor) per scene — round-3 measured values
+# minus a safety margin (see BASELINE.md synthetic accuracy table)
+FLOORS = {
+    "textured": (0.90, 0.95),     # round-3 measured 0.986 / 1.000
+    "occlusion": (0.70, 0.95),    # 0.801 / 1.000
+    "textureless": (0.75, 0.95),  # 0.880 / 1.000
+    "noise": (0.65, 0.95),        # 0.767 / 1.000
+}
+
+
+@pytest.fixture(scope="module")
+def battery():
+    static = PMStatic(state=RunState.FIRST_INIT, num_src=NV - 1,
+                      max_iterations=3)
+    fn = jax.jit(
+        lambda ri, si, rc, sc, dd, kk: run_pass(
+            ri, si, rc, sc, static, dd, kk))
+    rows = {}
+    for name, kw in SCENES.items():
+        scene = make_scene(num_views=NV, height=H_B, width=W_B, **kw)
+        ref_cam = scene.cameras[0]
+        src_ids = list(range(1, NV))
+        src_cams = stack_cameras([scene.cameras[i] for i in src_ids])
+        dyn = PMDynamic.create(depth_min=float(ref_cam.depth_min),
+                               depth_max=float(ref_cam.depth_max))
+        out = fn(jnp.asarray(scene.images[0]),
+                 jnp.asarray(scene.images[src_ids]), ref_cam, src_cams,
+                 dyn, jax.random.PRNGKey(0))
+        d = np.asarray(out.depth)
+        gt = scene.gt_depth[0]
+        m = 8
+        di, gi = d[m:-m, m:-m], gt[m:-m, m:-m]
+        valid = di > 0
+        rel = np.abs(di - gi) / np.maximum(gi, 1e-6)
+        rows[name] = (float(((rel < 0.02) & valid).mean()),
+                      float(valid.mean()))
+    print("\nsynthetic accuracy battery (FIRST_INIT, %dx%d, V=%d):"
+          % (H_B, W_B, NV - 1))
+    for name, (acc, comp) in rows.items():
+        print(f"  {name:12s} acc2%={acc:.3f} completeness={comp:.3f}")
+    return rows
+
+
+@pytest.mark.parametrize("name", list(SCENES))
+def test_scene_floor(battery, name):
+    acc, comp = battery[name]
+    acc_floor, comp_floor = FLOORS[name]
+    assert acc >= acc_floor, (name, acc)
+    assert comp >= comp_floor, (name, comp)
