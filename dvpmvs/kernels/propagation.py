@@ -196,10 +196,6 @@ def select_candidates_edge(
     H, W = cost.shape
     sq2 = math.sqrt(2.0)
     max_d = max(H, W) / 30.0
-    flat_plane = plane.reshape(-1, 4)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    base_idx = ys * W + xs
 
     cand1, flags1, cand2, flags2, differs = [], [], [], [], []
     for d, (dx, dy) in enumerate(EDGE_DIRS):
@@ -217,12 +213,6 @@ def select_candidates_edge(
         if not diag:
             step_len = step_len - step_len % 2
 
-        best_c = jnp.full((H, W), jnp.inf)
-        best_off = jnp.zeros((H, W), jnp.int32)
-        got1 = jnp.zeros((H, W), bool)
-        short_c = jnp.full((H, W), jnp.inf)
-        short_off = jnp.zeros((H, W), jnp.int32)
-        got2 = jnp.zeros((H, W), bool)
         # static bound on step_num = clamp(int(dist * 0.5), 11, 22): the cap
         # above reproduces the reference quirk of comparing dist >= max_d
         # AFTER the /sqrt2 division (APD.cu:2054-2062), so even on diagonal
@@ -230,32 +220,99 @@ def select_candidates_edge(
         # NOT clamped).  The static prune must therefore use max_d for both
         # axis and diagonal directions; steps past int(max_d*0.5) are dead
         # for every pixel — at <=1320 px extents this prunes 22 -> <=13.
+        #
+        # The scan materializes ALL (L, s) candidates as one stack and
+        # reduces with argmin (strict-<-first semantics == the sequential
+        # running min): the sequential where-chain emitted one tiny XLA
+        # kernel per step (launch-bound, 44 ms/half at 608x800 on v5e);
+        # the stack + reduce fuses into a handful.
         s_max = min(22, max(11, int(max_d * 0.5)))
+        cands, oks, offs = [], [], []
+        short_sel = []
         for L in edge_step_lengths(H, W, diag):
             sel_L = step_len == L
             for s in range(s_max):
                 ox = 5 * dx + s * L * dx + fx
                 oy = 5 * dy + s * L * dy + fy
                 inb = _in_bounds_mask(H, W, ox, oy)
-                c = shift_map(cost, ox, oy)
-                off = jnp.int32(oy * W + ox)
-                ok = sel_L & inb & (s < step_num)
-                take = ok & (c < best_c)
-                best_c = jnp.where(take, c, best_c)
-                best_off = jnp.where(take, off, best_off)
-                got1 = got1 | ok
-                if L == 2 and s < 11:
-                    take2 = inb & (c < short_c)
-                    short_c = jnp.where(take2, c, short_c)
-                    short_off = jnp.where(take2, off, short_off)
-                    got2 = got2 | inb
-        idx1 = jnp.clip(base_idx + best_off, 0, H * W - 1)
-        idx2 = jnp.clip(base_idx + short_off, 0, H * W - 1)
-        cand1.append(flat_plane[idx1])
-        cand2.append(flat_plane[idx2])
+                cands.append(shift_map(cost, ox, oy))
+                oks.append(sel_L & inb & (s < step_num))
+                offs.append(oy * W + ox)
+                short_sel.append((L == 2 and s < 11, inb))
+        cstack = jnp.stack(cands)                       # [S, H, W]
+        ok1 = jnp.stack(oks)
+        S = len(cands)
+        Ls = edge_step_lengths(H, W, diag)
+
+        def first_min_idx(work):
+            """argmin as two single-dtype reduces (the variadic
+            (value, index) reduce lowers poorly on TPU)."""
+            m = jnp.min(work, axis=0)
+            kio = jax.lax.broadcasted_iota(jnp.int32, work.shape, 0)
+            return jnp.min(jnp.where(work == m[None], kio, S), axis=0)
+
+        def idx_to_off(arg, rows):
+            """Flat offset from the stack index by ARITHMETIC — off is
+            affine in (L, s) and even a [S]-table gather by a [H, W]
+            index field costs milliseconds on TPU."""
+            arg = jnp.clip(arg, 0, len(rows) - 1)
+            li = [offs_meta[i][0] for i in rows]      # python ints
+            sv = [offs_meta[i][1] for i in rows]
+            if len(set(li)) == 1:
+                Lv = Ls[li[0]]
+                sval = arg + sv[0]
+                sL = sval * Lv
+            else:
+                # few L variants: where-chain over the static row table
+                sL = jnp.zeros_like(arg)
+                for i in range(len(rows)):
+                    sL = jnp.where(arg == i, sv[i] * Ls[li[i]], sL)
+            return (5 * dx + fx + W * (5 * dy + fy)
+                    + sL * (dx + W * dy))
+
+        offs_meta = []
+        for li_, L in enumerate(Ls):
+            for s in range(s_max):
+                offs_meta.append((li_, s))
+
+        work1 = jnp.where(ok1, cstack, jnp.inf)
+        arg1 = first_min_idx(work1)
+        got1 = jnp.any(ok1, axis=0)
+        best_off = idx_to_off(arg1, list(range(S)))
+
+        srows = [i for i, (is_s, _) in enumerate(short_sel) if is_s]
+        ok2 = jnp.stack([short_sel[i][1] for i in srows])
+        work2 = jnp.where(ok2, cstack[jnp.asarray(srows)], jnp.inf)
+        arg2 = first_min_idx(work2)
+        got2 = jnp.any(ok2, axis=0)
+        short_off = idx_to_off(arg2, srows)
+
+        # Candidate planes by roll + select instead of a flat gather: the
+        # source offsets are STATIC per stack row, so 13 rolled copies of
+        # the plane field selected by the (tiny-range) argmin fuse into
+        # elementwise kernels — the dense [8, H, W] gather of plane rows
+        # was ~40 ms/call at 608x800 on v5e, ~20x this form.  (Wrap-around
+        # at borders replaces the old clipped-flat-index junk; both are
+        # gated by the flags downstream.)
+        a1c = jnp.clip(arg1, 0, S - 1)
+        a2c = jnp.clip(arg2, 0, len(srows) - 1)
+        p1 = jnp.zeros((H, W, 4), plane.dtype)
+        p2 = jnp.zeros((H, W, 4), plane.dtype)
+        for k in range(S):
+            li_, s = offs_meta[k]
+            L = Ls[li_]
+            ox = 5 * dx + s * L * dx + fx
+            oy = 5 * dy + s * L * dy + fy
+            rolled = jnp.roll(plane, (-oy, -ox), (0, 1))
+            p1 = jnp.where((a1c == k)[..., None], rolled, p1)
+            if k in srows:
+                k2 = srows.index(k)
+                p2 = jnp.where((a2c == k2)[..., None], rolled, p2)
+        cand1.append(p1)
+        cand2.append(p2)
         flags1.append(got1)
         flags2.append(got2)
-        differs.append(got1 & got2 & (idx1 != idx2))
+        differs.append(got1 & got2 & (best_off != short_off))
     return (jnp.stack(cand1), jnp.stack(flags1),
             jnp.stack(cand2), jnp.stack(flags2), jnp.stack(differs))
 
