@@ -22,6 +22,20 @@ def first_out(scene):
     return _run_first(scene)
 
 
+# one jitted program per static config, shared by the engine tests AND the
+# accuracy battery below (identical shapes/statics -> single compile)
+_PASS_FNS = {}
+
+
+def _pass_fn(static):
+    fn = _PASS_FNS.get(static)
+    if fn is None:
+        from functools import partial
+        fn = jax.jit(partial(run_pass, static=static))
+        _PASS_FNS[static] = fn
+    return fn
+
+
 def _run_first(scene, view=0, max_iterations=3):
     ref_cam = scene.cameras[view]
     src_ids = [v for v in range(len(scene.cameras)) if v != view]
@@ -30,10 +44,10 @@ def _run_first(scene, view=0, max_iterations=3):
                       max_iterations=max_iterations)
     dyn = PMDynamic.create(depth_min=float(scene.cameras[view].depth_min),
                            depth_max=float(scene.cameras[view].depth_max))
-    out = run_pass(
+    out = _pass_fn(static)(
         jnp.asarray(scene.images[view]),
         jnp.asarray(scene.images[src_ids]),
-        ref_cam, src_cams, static, dyn, jax.random.PRNGKey(0))
+        ref_cam, src_cams, dyn=dyn, key=jax.random.PRNGKey(0))
     return out
 
 
@@ -102,22 +116,10 @@ FLOORS = {
 
 @pytest.fixture(scope="module")
 def battery():
-    static = PMStatic(state=RunState.FIRST_INIT, num_src=NV - 1,
-                      max_iterations=3)
-    fn = jax.jit(
-        lambda ri, si, rc, sc, dd, kk: run_pass(
-            ri, si, rc, sc, static, dd, kk))
     rows = {}
     for name, kw in SCENES.items():
         scene = make_scene(num_views=NV, height=H_B, width=W_B, **kw)
-        ref_cam = scene.cameras[0]
-        src_ids = list(range(1, NV))
-        src_cams = stack_cameras([scene.cameras[i] for i in src_ids])
-        dyn = PMDynamic.create(depth_min=float(ref_cam.depth_min),
-                               depth_max=float(ref_cam.depth_max))
-        out = fn(jnp.asarray(scene.images[0]),
-                 jnp.asarray(scene.images[src_ids]), ref_cam, src_cams,
-                 dyn, jax.random.PRNGKey(0))
+        out = _run_first(scene)            # shares the fixture's compile
         d = np.asarray(out.depth)
         gt = scene.gt_depth[0]
         m = 8
