@@ -180,24 +180,36 @@ def run_fusion_sharded(inputs: FusionInputs, variant: str = "eth3d",
     if not ids:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8)
     B = len(ids)
-    order = {rid: i for i, rid in enumerate(ids)}
+    # Source-only views (depth map present but not a retained reference
+    # problem) still contribute supports, as in serial run_fusion; they
+    # join the consistency batch but never emit points of their own.
+    all_ids = list(ids)
+    seen = set(ids)
+    for p in probs:
+        for s in p.src_image_ids:
+            if s in inputs.depths and s not in seen:
+                seen.add(s)
+                all_ids.append(s)
+    Ball = len(all_ids)
+    order = {rid: i for i, rid in enumerate(all_ids)}
     H, W = inputs.depths[ids[0]].shape
     Vm = max(len(p.src_image_ids) for p in probs)
-    src_index = np.zeros((B, Vm), np.int32)
-    n_src = np.zeros((B,), np.int32)
+    src_index = np.zeros((Ball, Vm), np.int32)
+    n_src = np.zeros((Ball,), np.int32)
     for i, p in enumerate(probs):
-        srcs = [s for s in p.src_image_ids if s in inputs.depths
-                and s in order]
+        srcs = [s for s in p.src_image_ids if s in inputs.depths]
         n_src[i] = len(srcs)
         pad = srcs + [srcs[-1] if srcs else ids[i]] * (Vm - len(srcs))
         src_index[i] = [order[s] for s in pad]
+    for i in range(B, Ball):
+        src_index[i] = i          # source-only rows: self-pairs, n_src = 0
 
     # pad the batch to a mesh multiple (repeated refs; results sliced off)
     n_dev = mesh.shape["views"] if mesh is not None else 1
-    Bp = -(-B // n_dev) * n_dev
-    pad_ids = ids + [ids[-1]] * (Bp - B)
+    Bp = -(-Ball // n_dev) * n_dev
+    pad_ids = all_ids + [all_ids[-1]] * (Bp - Ball)
     src_index_p = np.concatenate(
-        [src_index, np.repeat(src_index[-1:], Bp - B, axis=0)])
+        [src_index, np.repeat(src_index[-1:], Bp - Ball, axis=0)])
 
     ref_depths = jnp.asarray(np.stack([inputs.depths[r] for r in pad_ids]))
     ref_normals = jnp.asarray(np.stack([inputs.normals[r]
@@ -214,7 +226,7 @@ def run_fusion_sharded(inputs: FusionInputs, variant: str = "eth3d",
     errs, rdds, angs, srs, scs, vals = (
         np.asarray(a)[:B] for a in _all_pairs_consistency(
             ref_depths, ref_normals, ref_cams, sidx, ref_cams))
-    jvalid = (np.arange(Vm)[None] < n_src[:, None])          # [B, Vm]
+    jvalid = (np.arange(Vm)[None] < n_src[:B, None])         # [B, Vm]
     vals = vals & jvalid[..., None, None]
 
     def acceptance(vals_f):
@@ -255,7 +267,7 @@ def run_fusion_sharded(inputs: FusionInputs, variant: str = "eth3d",
     # pass 1: mask-free acceptance -> deterministic ownership claims
     accepts0, useds0 = acceptance(vals)
     BIG = B + 1
-    consumed = np.full((B, H, W), BIG, np.int32)   # owner order per pixel
+    consumed = np.full((Ball, H, W), BIG, np.int32)  # owner order per pixel
     for i in range(B):
         for j in range(int(n_src[i])):
             uj = useds0[i][j] & accepts0[i]
@@ -295,7 +307,7 @@ def run_fusion_sharded(inputs: FusionInputs, variant: str = "eth3d",
             uj = useds[i][j, ys, xs]
             if not np.any(uj):
                 continue
-            sid = ids[src_index[i, j]]
+            sid = all_ids[src_index[i, j]]
             col[uj] += inputs.images[sid][srs[i, j, ys, xs][uj],
                                           scs[i, j, ys, xs][uj]]
             cnt[uj] += 1

@@ -29,6 +29,7 @@ from .ncc import COST_MAX, CostContext, ncc_cost, warp_field
 from .weak import AnchorResult
 
 _MIN_ANCHOR_SAMPLES = 4
+_MIN_GROUP_SAMPLES = 2   # per-group NCC validity (total gate stays at 4)
 _K_MIN_VAR = 1e-5
 
 
@@ -257,17 +258,23 @@ def anchor_cost_term_for_plane(
     # sample: the reference averages per-anchor 9-tap NCC costs
     # (APD.cu:988-1004), which caps any one bad anchor's influence at
     # cost_max/A — a single global NCC can be dragged arbitrarily by one
-    # outlier sample.  Groups of 4 anchor centers are the closest
+    # outlier sample.  Small groups of anchor centers are the closest
     # structure our 1-tap-per-anchor term supports (same gathers, only the
     # moment reductions restructure); measured on the textureless stress
     # band it recovers most of the remaining gap to the exact oracle.
+    # The anchor axis PADS up to G*Ag (zero weight / unusable) so no real
+    # anchor is dropped when A is not divisible by G.
     A = af.ax.shape[0]
     G = max(A // _MIN_ANCHOR_SAMPLES, 1)
-    Ag = A // G
+    Ag = -(-A // G)
+    a_pad = G * Ag - A
     shp = (V, G, Ag) + src_a.shape[2:]
 
     def grp(x):
-        return x[:, :G * Ag].reshape(shp)
+        if a_pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((V, a_pad) + x.shape[2:], x.dtype)], axis=1)
+        return x.reshape(shp)
 
     wg = grp(w)
     used_g = grp(usable)
@@ -288,7 +295,10 @@ def anchor_cost_term_for_plane(
     ncc = cov / jnp.maximum(jnp.sqrt(jnp.maximum(var_r * var_s, 0.0)), 1e-30)
     cg = jnp.clip(1.0 - ncc, 0.0, COST_MAX)               # [V, G, H', W']
     degenerate = (var_r < _K_MIN_VAR) | (var_s < _K_MIN_VAR)
-    cg = jnp.where(degenerate | (n_g < _MIN_ANCHOR_SAMPLES), COST_MAX, cg)
+    # Per-group validity gates on a SMALLER minimum than the total-sample
+    # gate below: a pixel whose >= _MIN_ANCHOR_SAMPLES usable anchors are
+    # spread thin across groups (e.g. 2+2) still gets real group costs.
+    cg = jnp.where(degenerate | (n_g < _MIN_GROUP_SAMPLES), COST_MAX, cg)
 
     n_use = jnp.sum(usable, axis=1)
     n_oov = jnp.sum(oov, axis=1)
