@@ -1,12 +1,16 @@
 """Benchmark: PatchMatch view-passes per second on one chip.
 
-Runs a full FIRST_INIT PatchMatch pass (random init + 3 checkerboard
-iterations + median/reclassify/refine post-passes) on a synthetic scene at
-the reference's working resolution (pyramid base <= 800 px, ~10 source
-views — BASELINE.md config 1 scale) and reports depth-maps/sec/chip.
-The pass runs the reference's DEFAULT strong-propagation path: the
-edge-adaptive dual scan (use_edge=true in main.h; edges computed per round
-by main.cpp:480), with a Canny edge map of the scene.
+Measures BOTH production pass flavors at the reference's working
+resolution (pyramid base <= 800 px, ~10 source views — BASELINE.md
+config 1 scale):
+
+  * FIRST_INIT (headline `value`, kept for cross-round continuity):
+    random init + 3 checkerboard iterations + median/reclassify/refine
+    post-passes, with the reference's DEFAULT edge-adaptive dual scan
+    (use_edge=true in main.h; edges computed per round by main.cpp:480).
+  * REFINE_ITER (`refine_*` fields): the schedule's dominant pass — 3 of
+    every 4 scheduled passes run it — with the full weak-pixel machinery
+    (use_APD) and geometric consistency (config.py::round_pass_params).
 
 vs_baseline anchors to an estimated 0.33 view-passes/sec for the reference
 CUDA engine on its published dev hardware (Titan RTX): the repo publishes no
@@ -14,10 +18,18 @@ numbers (BASELINE.md), and per-view "Cost time" prints of APD-family engines
 at this scale are ~2-4 s/view-pass.  The anchor is recorded here explicitly
 so it can be replaced by a measured value when the reference is run.
 
+Contention defense (round-3 driver capture recorded a 26x-wrong number
+with no diagnostic): every timed run is recorded in `runs_s`; when the
+max/min spread of a measurement exceeds SPREAD_LIMIT the whole batch is
+re-run once and `contention` is set true (the reported value is the
+fastest batch's mean — a slow co-tenant can only inflate times, never
+deflate them).
+
 Prints exactly one JSON line.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -28,10 +40,36 @@ REFERENCE_VIEW_PASSES_PER_SEC = 0.33   # Titan RTX estimate (see docstring)
 
 H, W, V = 608, 800, 10
 ITERS = 3
+N_RUNS = 3
+SPREAD_LIMIT = 3.0
+
+
+def _timed_runs(fn, args, n_runs=N_RUNS):
+    """Per-run wall times with a one-retry contention guard."""
+    def batch():
+        times = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            out = fn(*args)
+            out.depth.block_until_ready()
+            times.append(time.time() - t0)
+        return times
+
+    times = batch()
+    contention = max(times) / max(min(times), 1e-9) > SPREAD_LIMIT
+    if contention:
+        print(f"bench: run spread {max(times):.2f}/{min(times):.2f} s "
+              f"exceeds {SPREAD_LIMIT}x - retrying once (co-tenant TPU "
+              f"process?)", file=sys.stderr, flush=True)
+        times2 = batch()
+        if max(times2) / max(min(times2), 1e-9) <= SPREAD_LIMIT:
+            return times2, True
+        times = times2 if np.mean(times2) < np.mean(times) else times
+    return times, contention
 
 
 def main():
-    from dvpmvs.config import PMDynamic, PMStatic, RunState
+    from dvpmvs.config import PMDynamic, PMStatic, PixelState, RunState
     from dvpmvs.engine import run_pass
     from dvpmvs.geometry import stack_cameras
     from dvpmvs.utils.synthetic import make_scene
@@ -45,7 +83,16 @@ def main():
     reps = [src_ids[i % len(src_ids)] for i in range(V)]
     src_cams = stack_cameras([scene.cameras[i] for i in reps])
     src_imgs = jnp.asarray(scene.images[reps])
+    ref_img = jnp.asarray(scene.images[0])
+    gt = scene.gt_depth[0]
+    m = 8
 
+    def acc2(depth):
+        d = np.asarray(depth)[m:-m, m:-m]
+        rel = np.abs(d - gt[m:-m, m:-m]) / np.maximum(gt[m:-m, m:-m], 1e-6)
+        return float(((rel < 0.02) & (d > 0)).mean())
+
+    # ---- FIRST_INIT (headline) ----
     static = PMStatic(state=RunState.FIRST_INIT, num_src=V,
                       max_iterations=ITERS, cost_backend=backend)
     dyn = PMDynamic.create(depth_min=float(ref_cam.depth_min),
@@ -58,32 +105,52 @@ def main():
 
     fn = jax.jit(lambda ri, si, rc, sc, dd, kk, eg: run_pass(
         ri, si, rc, sc, static, dd, kk, edge=eg))
-    args = (jnp.asarray(scene.images[0]), src_imgs, ref_cam, src_cams, dyn,
+    args = (ref_img, src_imgs, ref_cam, src_cams, dyn,
             jax.random.PRNGKey(0), edge)
-
     out = fn(*args)
     out.depth.block_until_ready()          # compile + warm
-    n_runs = 2
-    t0 = time.time()
-    for _ in range(n_runs):
-        out = fn(*args)
-    out.depth.block_until_ready()
-    dt = (time.time() - t0) / n_runs
+    first_acc = acc2(out.depth)
+    first_times, first_cont = _timed_runs(fn, args)
+    first_dt = float(np.mean(first_times))
 
-    # sanity: the pass must actually solve the scene
-    gt = scene.gt_depth[0]
-    d = np.asarray(out.depth)
-    m = 8
-    rel = np.abs(d[m:-m, m:-m] - gt[m:-m, m:-m]) / np.maximum(gt[m:-m, m:-m], 1e-6)
-    acc = float(((rel < 0.02) & (d[m:-m, m:-m] > 0)).mean())
+    # ---- REFINE_ITER (the production pass: weak machinery + geom) ----
+    static_r = PMStatic(state=RunState.REFINE_ITER, num_src=V,
+                        max_iterations=ITERS, cost_backend=backend,
+                        use_APD=True, geom_consistency=True,
+                        use_edge=False, use_label=False)
+    rng = np.random.default_rng(0)
+    n_world = jnp.einsum("ji,hwj->hwi", ref_cam.R,
+                         jnp.asarray(scene.gt_normal[0]))
+    init_world = jnp.concatenate(
+        [n_world, (jnp.asarray(gt) * 1.01)[..., None]], -1)
+    sel = jnp.ones((H, W, V), bool)
+    weak = jnp.where(jnp.asarray(rng.uniform(size=(H, W)) < 0.3),
+                     PixelState.WEAK, PixelState.STRONG).astype(jnp.int8)
+    src_depths = jnp.asarray(scene.gt_depth[reps])
+    fn_r = jax.jit(lambda ri, si, rc, sc, dd, kk: run_pass(
+        ri, si, rc, sc, static_r, dd, kk, init_plane_world=init_world,
+        init_sel_views=sel, init_weak=weak, src_depths=src_depths))
+    args_r = (ref_img, src_imgs, ref_cam, src_cams, dyn,
+              jax.random.PRNGKey(0))
+    out_r = fn_r(*args_r)
+    out_r.depth.block_until_ready()
+    refine_acc = acc2(out_r.depth)
+    refine_times, refine_cont = _timed_runs(fn_r, args_r, n_runs=2)
+    refine_dt = float(np.mean(refine_times))
 
-    vps = 1.0 / dt
+    vps = 1.0 / first_dt
     print(json.dumps({
         "metric": "depth_maps_per_sec_per_chip",
         "value": round(vps, 4),
         "unit": f"view-pass/s ({H}x{W}, {V} src views, {ITERS} iters; "
-                f"acc2%={acc:.3f})",
+                f"acc2%={first_acc:.3f})",
         "vs_baseline": round(vps / REFERENCE_VIEW_PASSES_PER_SEC, 3),
+        "refine_vps": round(1.0 / refine_dt, 4),
+        "refine_s": round(refine_dt, 3),
+        "refine_acc2": round(refine_acc, 4),
+        "runs_s": [round(t, 3) for t in first_times],
+        "refine_runs_s": [round(t, 3) for t in refine_times],
+        "contention": bool(first_cont or refine_cont),
     }))
 
 

@@ -40,6 +40,7 @@ def _cmd_scene(args) -> int:
         use_label=not args.no_label,
         use_radius=not args.no_radius,
         cost_backend=args.backend,
+        debug_dumps=args.debug_dumps,
     )
 
     mono_planes = {}
@@ -170,6 +171,10 @@ def main(argv=None) -> int:
                          "(main.cpp:396-403)")
     ps.add_argument("--metrics", action="store_true",
                     help="dump per-pass timings to <output>/metrics.json")
+    ps.add_argument("--debug-dumps", action="store_true",
+                    help="write per-pass sweep cost curves and anchor lists "
+                         "(reference DEBUG_COST_LINE / DEBUG_NEIGHBOUR "
+                         "layouts) to each view's result folder")
     ps.add_argument("--seed", type=int, default=0)
     ps.set_defaults(fn=_cmd_scene)
 

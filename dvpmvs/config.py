@@ -73,6 +73,19 @@ class PMStatic:
                                     # weak cost (gather-bound oracle; the
                                     # default is the warp-field approximation
                                     # in kernels/deformable.py)
+    # Weak-pixel compaction budget as a fraction of the evaluation grid:
+    # the slot-exact anchor terms compute only at this many compacted weak
+    # indices (gather-bound — the dominant REFINE_ITER cost).  Weak pixels
+    # beyond the budget keep the shared anchor term (graceful).  The scene
+    # runner rounds the measured weak fraction up to a bucket so recompiles
+    # stay bounded (sched/runner.py).
+    weak_budget_frac: float = 0.5
+    # Per-pixel introspection: return the disparity-sweep cost curves and
+    # the anchor lists in PassOutput (the reference's DEBUG_COST_LINE /
+    # DEBUG_NEIGHBOUR compile-time dumps, APD.cu:3990-4524); the scene
+    # runner writes them to the result folder in the reference's binary
+    # layouts.  Debug only — materializes [61, H, W] f32 per pass.
+    debug_dumps: bool = False
     # NCC backend: "exact" = per-center-plane window warp via XLA gathers
     # (reference-faithful, gather-bound); "pallas" = banded-gather TPU kernel
     # (reference-faithful, fast); "warp" = warp-once approximation (fastest,

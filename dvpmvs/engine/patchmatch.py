@@ -302,12 +302,10 @@ def _propagate_color_weak(
 
     Like the strong path, all cost/geom evaluations, MHJVS and refinement run
     on the checkerboard-packed half grid when the pallas contexts are
-    available; the anchor term is computed at full resolution (anchor
-    coordinates are full-res) and packed, and anchor-plane gathers index only
-    the active color's pixels.
+    available; anchor terms compute on the packed grid too (the warp field
+    is dense full-res, but the per-anchor gathers — the dominant cost —
+    index only the active color's pixels).
     """
-    from ..kernels.deformable import AnchorCostTerm
-
     H, W = ref_img.shape
     V = ctx.num_views
     k_view, k_refine = jax.random.split(
@@ -334,16 +332,12 @@ def _propagate_color_weak(
         # cost0 counterpart uses the slot-exact term, so the refinement
         # acceptance compares across the two anchor models (bias bounded
         # by the stress-band delta in tests/test_deformable_exact.py)
-        at_full = anchor_cost_term(ctx_yzl, state.plane, anchors,
-                                   state.sel_views, ref_img, dyn.sigma_color)
-        at = AnchorCostTerm(cost=pk(at_full.cost),
-                            has_anchors=pk(at_full.has_anchors))
-
         from ..kernels.deformable import (AnchorFields,
                                           anchor_cost_term_for_plane,
                                           pack_anchor_fields)
         af = pack_anchor_fields(ctx_yzl, anchors, state.sel_views, ref_img,
                                 dyn.sigma_color, pk=pk)
+        at = anchor_cost_term(ctx_yzl, state.plane, af)
 
         # Weak-pixel compaction: the slot-exact anchor term (10 slots x
         # A x V gathers per pixel) only affects pixels that can COMMIT —
@@ -354,7 +348,8 @@ def _propagate_color_weak(
         # demotion are far below 50%).
         weak_pk = pk(state.weak == PixelState.WEAK)
         SZ = weak_pk.size
-        K_w = max(SZ // 2, 128)
+        K_w = max(-(-int(SZ * static.weak_budget_frac) // 128) * 128, 128)
+        K_w = min(K_w, SZ)
         flat_idx = jnp.nonzero(weak_pk.reshape(-1), size=K_w,
                                fill_value=SZ)[0]
         ok_k = flat_idx < SZ
@@ -672,10 +667,18 @@ def run_pass(
 
     depth = median_filter_depth(depth, state.weak, state.cost)
 
-    weak_new = depth_to_weak(
-        ctx, gctx, dyn.geom_factor, normal_ref, depth, state.sel_views,
-        state.view_weights, xs, ys, ref_cam, src_cams,
-        dyn.depth_min, dyn.depth_max, dyn.weak_peak_radius)
+    cost_line = None
+    if static.debug_dumps:
+        weak_new, cost_line = depth_to_weak(
+            ctx, gctx, dyn.geom_factor, normal_ref, depth, state.sel_views,
+            state.view_weights, xs, ys, ref_cam, src_cams,
+            dyn.depth_min, dyn.depth_max, dyn.weak_peak_radius,
+            return_curve=True)
+    else:
+        weak_new = depth_to_weak(
+            ctx, gctx, dyn.geom_factor, normal_ref, depth, state.sel_views,
+            state.view_weights, xs, ys, ref_cam, src_cams,
+            dyn.depth_min, dyn.depth_max, dyn.weak_peak_radius)
 
     depth = local_refine(
         ctx, gctx, dyn.geom_factor, normal_ref, depth, state.sel_views,
@@ -691,9 +694,16 @@ def run_pass(
     radius_out = jnp.where(state.radius == 0, float(static.strong_radius),
                            state.radius)
 
+    dbg = {}
+    if static.debug_dumps:
+        dbg["cost_line"] = cost_line
+        if use_apd:
+            dbg["anchors_xy"] = anchors.coords
+            dbg["anchors_valid"] = anchors.valid
     return PassOutput(depth=depth, normal_world=normal_world, cost=state.cost,
                       weak=weak_new, sel_views=state.sel_views,
-                      view_weights=state.view_weights, radius=radius_out)
+                      view_weights=state.view_weights, radius=radius_out,
+                      **dbg)
 
 
 def make_pass_fn(static: PMStatic):

@@ -42,3 +42,9 @@ class PassOutput(struct.PyTreeNode):
     sel_views: jnp.ndarray      # [H, W, V] bool
     view_weights: jnp.ndarray   # [H, W, V]
     radius: jnp.ndarray         # [H, W]
+    # Debug introspection (PMStatic.debug_dumps; None otherwise) — the
+    # reference's DEBUG_COST_LINE / DEBUG_NEIGHBOUR buffers
+    # (APD.cu:3990-3997, 4455-4470):
+    cost_line: jnp.ndarray | None = None    # [61, H, W] sweep cost curves
+    anchors_xy: jnp.ndarray | None = None   # [A, H, W, 2] int32 (x, y)
+    anchors_valid: jnp.ndarray | None = None  # [A, H, W] bool

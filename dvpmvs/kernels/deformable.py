@@ -40,16 +40,17 @@ class AnchorCostTerm(NamedTuple):
 
 def anchor_cost_term(
     ctx: CostContext,
-    plane: jnp.ndarray,          # [H, W, 4] CURRENT plane field
-    anchors: AnchorResult,
-    sel_views: jnp.ndarray,      # [H, W, V] bool
-    ref_img: jnp.ndarray,
-    sigma_color,
+    plane: jnp.ndarray,          # [H, W, 4] CURRENT plane field (full grid)
+    af: "AnchorFields",
 ) -> AnchorCostTerm:
-    """Weighted NCC over anchor-center samples of the current warp field."""
-    H, W = ref_img.shape
+    """Weighted NCC over anchor-center samples of the current warp field.
+
+    Computes directly on ``af``'s evaluation grid (checkerboard-packed in
+    production) — the warp field is dense full-res (anchors index full-res
+    positions) but the A-per-pixel anchor GATHERS, the dominant cost of
+    this term, move only the active color's pixels."""
+    H, W = plane.shape[:2]
     V = ctx.num_views
-    A = anchors.coords.shape[0]
     if ctx.backend == "pallas" and ctx.packed_quads is not None:
         # identical warp-field semantics through the banded-gather kernel
         # (the XLA bilinear gather costs ~4 V HW slow-gather elements)
@@ -66,22 +67,18 @@ def anchor_cost_term(
     else:
         warped, in_view = warp_field(ctx, plane)  # [V, H, W]
 
-    ax = jnp.clip(anchors.coords[..., 0], 0, W - 1)
-    ay = jnp.clip(anchors.coords[..., 1], 0, H - 1)
-    idx = ay * W + ax                              # [A, H, W]
-
-    ref_a = ref_img.reshape(-1)[idx]               # [A, H, W]
-    w_col = jnp.exp(-jnp.abs(ref_a - ref_img[None])
-                    / (2.0 * sigma_color * sigma_color))
-    valid = anchors.valid                          # [A, H, W]
+    idx = af.ay * W + af.ax                        # [A, H', W']
+    ref_a = af.ref_a
+    w_col = af.w_col
+    valid = af.valid
 
     if ctx.backend == "pallas":
-        # pack per-view data so the anchor gathers move 1+ceil(V/4)+2
-        # elements per (anchor, pixel) instead of 1+3V — XLA gathers run at
+        # pack per-view data so the anchor gathers move 1+ceil(V/4)
+        # elements per (anchor, pixel) instead of 3V — XLA gathers run at
         # ~86M elem/s on TPU and dominate this term.  Warp intensities
         # quantize to u8, 4 views per int32 (the same quantization the
-        # packed-quad cost kernel applies to sources); in-view and selected
-        # become per-pixel bitmasks.
+        # packed-quad cost kernel applies to sources); in-view becomes a
+        # per-pixel bitmask.
         wq = jnp.clip(jnp.round(warped), 0, 255).astype(jnp.int32)
         C = (V + 3) // 4
         packs = []
@@ -93,29 +90,23 @@ def anchor_cost_term(
                     acc = acc | (wq[v] << (8 * j2))
             packs.append(acc)
         inv_bits = jnp.zeros((H, W), jnp.int32)
-        sel_bits = jnp.zeros((H, W), jnp.int32)
         for v in range(V):
             inv_bits = inv_bits | (in_view[v].astype(jnp.int32) << v)
-            sel_bits = sel_bits | (sel_views[..., v].astype(jnp.int32) << v)
 
-        pk_a = [p.reshape(-1)[idx] for p in packs]          # C x [A, H, W]
+        pk_a = [p.reshape(-1)[idx] for p in packs]          # C x [A, H', W']
         invb_a = inv_bits.reshape(-1)[idx]
-        selb_a = sel_bits.reshape(-1)[idx]
         src_a = jnp.stack([((pk_a[v // 4] >> (8 * (v % 4))) & 0xFF)
                            .astype(jnp.float32) for v in range(V)])
         inv_a = jnp.stack([((invb_a >> v) & 1).astype(bool)
                            for v in range(V)])
-        sees = jnp.stack([((selb_a >> v) & 1).astype(bool)
-                          for v in range(V)])
     else:
-        sel_a = sel_views.reshape(-1, V)[idx]      # [A, H, W, V]
         src_a = jax.vmap(lambda wv: wv.reshape(-1)[idx])(warped)
         inv_a = jax.vmap(lambda iv: iv.reshape(-1)[idx])(in_view)
-        sees = jnp.moveaxis(sel_a, -1, 0)          # [V, A, H, W]
+    sees = af.sees                                 # [V, A, H', W']
     usable = valid[None] & sees & inv_a            # contributes to NCC
     oov = valid[None] & sees & ~inv_a              # contributes cost_max
 
-    w = jnp.where(usable, w_col[None], 0.0)        # [V, A, H, W]
+    w = jnp.where(usable, w_col[None], 0.0)        # [V, A, H', W']
     sw = jnp.sum(w, axis=1)
     n_use = jnp.sum(usable, axis=1)
     n_oov = jnp.sum(oov, axis=1)

@@ -122,8 +122,13 @@ def depth_to_weak(
     ref_cam: Camera, src_cams: Camera,
     depth_min, depth_max, weak_peak_radius,
     radius_steps: int = 30,
+    return_curve: bool = False,
 ) -> jnp.ndarray:
-    """Reclassify pixels -> int8 [H, W] of PixelState."""
+    """Reclassify pixels -> int8 [H, W] of PixelState.
+
+    ``return_curve`` additionally returns the [2*radius_steps+1, H, W]
+    sweep cost curves (the reference's DEBUG_COST_LINE buffer,
+    APD.cu:3990-3997)."""
     baseline, nsel = _mean_selected_baseline(sel_views, ref_cam, src_cams)
     fx = ref_cam.fx
 
@@ -144,8 +149,9 @@ def depth_to_weak(
             view_mask=vmask)
     p_costs = jnp.minimum(COST_MAX, p_costs)
 
-    return classify_from_sweep(p_costs, depth, nsel, radius_steps,
+    weak = classify_from_sweep(p_costs, depth, nsel, radius_steps,
                                weak_peak_radius)
+    return (weak, p_costs) if return_curve else weak
 
 
 def classify_from_sweep(p_costs: jnp.ndarray, depth: jnp.ndarray,

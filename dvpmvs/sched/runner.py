@@ -141,10 +141,28 @@ class SceneRunner:
             edge = self.edge_cache[ek]
         if need_label and self.base_static.use_label:
             if ek not in self.label_cache:
-                self.label_cache[ek] = edge_segment(
-                    scale, self.scene.images[image_id], mode=1, use_canny=False)
+                self.label_cache[ek] = self._load_or_compute_label(
+                    image_id, scale)
             label = self.label_cache[ek]
         return edge, label
+
+    def _load_or_compute_label(self, image_id: int, scale: int) -> np.ndarray:
+        """Segmentation-label map for one view: an external
+        ``MVS4/%08d.dmb`` file (a TSAR-MVS-style float map rescaled to the
+        image extent, APD.cpp:1634-1645) is preferred when present;
+        otherwise self-compute with the Roberts/CC/Hough pipeline (the
+        reference's EdgeSegment mode-1 path)."""
+        mvs4 = (Path(self.scene.dense_folder) / "MVS4"
+                / f"{image_id:08d}.dmb") if self.scene.dense_folder else None
+        if mvs4 is not None and mvs4.is_file():
+            from ..io.dmb import read_dmb
+            lab = np.asarray(read_dmb(mvs4))
+            ih, iw = self.scene.images[image_id].shape
+            if lab.shape != (ih, iw):
+                lab = rescale_nearest(lab.astype(np.float32), (ih, iw))
+            return lab.astype(np.int32)
+        return edge_segment(scale, self.scene.images[image_id], mode=1,
+                            use_canny=False)
 
     # ------------------------------------------------------------------
     def run_view_pass(self, problem, static: PMStatic, dyn: PMDynamic,
@@ -240,6 +258,53 @@ class SceneRunner:
             depth=np.asarray(out.depth), normal_world=np.asarray(out.normal_world),
             weak=np.asarray(out.weak), sel_views=sel,
             radius=np.asarray(out.radius))
+        if static.debug_dumps:
+            self._write_debug_dumps(problem, out)
+
+    # ------------------------------------------------------------------
+    def _write_debug_dumps(self, problem, out) -> None:
+        """Reference debug-dump equivalents (PMStatic.debug_dumps):
+
+        * ``weak_ncc_cost.bin`` — per-pixel disparity-sweep cost curves in
+          the DEBUG_COST_LINE layout (APD.cu:4507-4524): int32 header
+          [width, height, 61] then f32 [H, W, 61] row-major per pixel.
+        * ``neighbour_map.bin`` / ``neighbour.bin`` — per-weak-pixel anchor
+          lists in the DEBUG_NEIGHBOUR layout (APD.cu:4455-4470):
+          neighbour_map is a WriteBinMat int32 map (index into the weak
+          list, -1 elsewhere); neighbour.bin holds int32 [weak_count,
+          neighbour_num] then int16 (x, y) pairs, first entry = the pixel
+          itself, invalid anchors = (-1, -1).
+        """
+        import struct as _struct
+
+        folder = Path(problem.result_folder)
+        folder.mkdir(parents=True, exist_ok=True)
+        if out.cost_line is not None:
+            curve = np.moveaxis(np.asarray(out.cost_line), 0, -1)
+            h, w, n = curve.shape
+            with open(folder / "weak_ncc_cost.bin", "wb") as f:
+                f.write(_struct.pack("<3i", w, h, n))
+                f.write(np.ascontiguousarray(curve, np.float32).tobytes())
+        if out.anchors_xy is not None:
+            av = np.asarray(out.anchors_valid)            # [A, H, W]
+            axy = np.asarray(out.anchors_xy)              # [A, H, W, 2]
+            has = av.any(axis=0)
+            ys2, xs2 = np.nonzero(has)
+            wc = len(ys2)
+            A = av.shape[0]
+            ent = np.full((wc, A + 1, 2), -1, np.int16)
+            ent[:, 0, 0] = xs2
+            ent[:, 0, 1] = ys2
+            sel_a = axy[:, ys2, xs2]                      # [A, wc, 2]
+            ok_a = av[:, ys2, xs2]                        # [A, wc]
+            ent[:, 1:, :] = np.where(ok_a[..., None], sel_a,
+                                     -1).transpose(1, 0, 2)
+            nmap = np.full(has.shape, -1, np.int32)
+            nmap[ys2, xs2] = np.arange(wc, dtype=np.int32)
+            write_bin_mat(folder / "neighbour_map.bin", nmap)
+            with open(folder / "neighbour.bin", "wb") as f:
+                f.write(_struct.pack("<2i", wc, A + 1))
+                f.write(ent.tobytes())
 
     # ------------------------------------------------------------------
     def run(self, checkpoint_dir: Optional[Path] = None,

@@ -96,3 +96,31 @@ def test_scene_dir_roundtrip(tmp_path):
     assert loaded.problems[0].src_image_ids == [1, 2]
     np.testing.assert_allclose(loaded.images[1], scene.images[1], atol=1e-4)
     np.testing.assert_allclose(loaded.cameras[2].K, scene.cameras[2].K, rtol=1e-5)
+
+
+def test_mvs4_label_ingestion(tmp_path):
+    """External MVS4/%08d.dmb label maps are preferred over self-computed
+    labels and rescaled to the image extent (APD.cpp:1634-1645)."""
+    from dvpmvs.io.dmb import write_depth_dmb
+    from dvpmvs.sched.runner import SceneRunner
+
+    scene = make_scene(num_views=3, height=40, width=56, seed=5)
+    folder = write_scene_dir(scene, tmp_path / "scene")
+    loaded = load_scene(folder)
+
+    mvs4 = folder / "MVS4"
+    mvs4.mkdir()
+    lab = np.arange(20 * 28, dtype=np.float32).reshape(20, 28)  # half size
+    write_depth_dmb(mvs4 / "00000000.dmb", lab)
+
+    runner = SceneRunner(loaded, verbose=False)
+    _, got = runner._edges_for(0, scale_size=1, need_label=True)
+    assert got.dtype == np.int32 and got.shape == (40, 56)
+    # nearest rescale of the file content, not a self-computed label map
+    assert got[0, 0] == 0 and got[-1, -1] == int(lab[-1, -1])
+    assert len(np.unique(got)) > 100   # self-computed maps have few labels
+
+    # fallback: a view with no file self-computes (mode-1 edge_segment)
+    _, fb = runner._edges_for(1, scale_size=1, need_label=True)
+    assert fb is not None and fb.shape == (40, 56)
+    assert len(np.unique(fb)) < 100
