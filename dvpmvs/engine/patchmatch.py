@@ -371,9 +371,17 @@ def _propagate_color_weak(
             base = jnp.where(at.has_anchors[None],
                              0.25 * centers + 0.75 * at.cost[None], centers)
             pl_k = slot_planes.reshape(S, SZ, 4)[:, gidx]
-            at_k = jax.lax.map(
-                lambda p: anchor_cost_term_for_plane(ctx_yzl, p, af_k),
-                pl_k)
+            if (ctx_yzl.backend == "pallas"
+                    and ctx_yzl.packed_quads is not None):
+                # banded-gather kernel: serves the S x A x V x K anchor
+                # gathers from VMEM-resident sources (XLA's one-element
+                # gathers dominate the REFINE pass otherwise)
+                from ..kernels.anchor_pallas import anchor_slot_costs_from_ctx
+                at_k = anchor_slot_costs_from_ctx(ctx_yzl, pl_k, af_k)
+            else:
+                at_k = jax.lax.map(
+                    lambda p: anchor_cost_term_for_plane(ctx_yzl, p, af_k),
+                    pl_k)
             center_k = centers.reshape(S, SZ, -1)[:, gidx]
             ck = jnp.where(at_k.has_anchors,
                            0.25 * center_k + 0.75 * at_k.cost, center_k)

@@ -1,0 +1,335 @@
+"""Pallas kernel for the slot-exact anchor terms (weak-path hot loop).
+
+Oracle: :func:`dvpmvs.kernels.deformable.anchor_cost_term_for_plane` — for
+every candidate SLOT plane s, anchor a, source view v and compacted weak
+pixel k, sample source v at the projection of anchor a's ray under slot
+s's plane-induced homography, then reduce grouped weighted NCC moments
+over the anchor axis (``ComputeBilateralNCCNew`` semantics,
+/root/reference/APD.cu:835-1021; grouping per kernels/deformable.py).
+
+Why a kernel: the XLA path is gather-bound — S*A*V*K one-element gathers
+(~134M per half-iteration at bench scale) at XLA's ~86M elem/s dominate
+the REFINE_ITER pass (measured 5.8 s of a 12.2 s pass, BASELINE.md
+round-4).  Anchors of CONSECUTIVE compacted weak pixels are spatially
+coherent (nearest-strong points along shared rays), so their warped
+positions cluster: this kernel serves each (anchor, view) tile from a
+dynamically-bounded row window of the packed-quad source — one unaligned
+8-row slice + per-row-class lane gather (``take_along_axis``) per distinct
+warped row, instead of one slow gather per element.
+
+Layout:
+  * K compacts to tiles of 8x128 = 1024 pixels; grid = (V, K/1024).
+  * sources are the ctx.packed_quads [V, H, W] int32 (each element packs
+    its own 2x2 bilinear corners), padded to [V, PAD_TOP+H+PAD_BOT, Wp]
+    so dynamic row slices never clamp; one view's pad block (~2.2 MB at
+    608x800) stays VMEM-resident across the K tiles of its grid row.
+  * per-view homography scalars (M, b), source extents and ref intrinsics
+    ride in SMEM.
+  * outputs are the blended per-(slot, view, pixel) anchor cost and the
+    has-anchors mask, written per slot.
+
+The moment math reproduces deformable.py's grouped NCC exactly (groups of
+ceil(A/G) anchors, per-group >= _MIN_GROUP_SAMPLES gate, >= 4 total gate,
+out-of-view anchors blended as COST_MAX).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .deformable import (_K_MIN_VAR, _MIN_ANCHOR_SAMPLES,
+                         _MIN_GROUP_SAMPLES, AnchorCostTerm)
+
+COST_MAX = 2.0
+TILE_H = 8
+TILE_W = 128
+KT_SIZE = TILE_H * TILE_W
+PAD_TOP = 8          # dynamic row slices (base may undershoot) never clamp
+PAD_BOT = 16         # 16-row load chain above y_max never clamps
+
+
+def _kernel(mats_ref, wh_ref, quads_ref, rax_ref, ray_ref,
+            refa_ref, wcol_ref, vbits_ref, q_ref, cost_ref, has_ref,
+            *, S, A, G, Ag, H_src, W_src, Wp):
+    v = pl.program_id(0)   # this grid row's view
+
+    m = [mats_ref[v, i] for i in range(12)]
+    w_ext = wh_ref[v, 0]
+    h_ext = wh_ref[v, 1]
+
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+
+    # accumulators: grouped moment sums per (slot, group) + usable/oov
+    zeros = lambda: jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    acc = [[dict(sw=zeros(), n=zeros(), m1r=zeros(), m2r=zeros(),
+                 m1s=zeros(), m2s=zeros(), mrs=zeros())
+            for _ in range(G)] for _ in range(S)]
+    n_use = [zeros() for _ in range(S)]
+    n_oov = [zeros() for _ in range(S)]
+
+    for a in range(A):
+        # anchor rays arrive precomputed (af.rax/ray) so px/py floor()
+        # boundaries match the XLA oracle bitwise
+        rax = rax_ref[0, a]
+        ray_ = ray_ref[0, a]
+        vm = ((jax.lax.shift_right_logical(vbits_ref[0, a], v) & 1) == 1)
+        refa = refa_ref[0, a]
+        wcol = wcol_ref[0, a]
+        base_hx = m[0] * rax + m[1] * ray_ + m[2]
+        base_hy = m[3] * rax + m[4] * ray_ + m[5]
+        base_hz = m[6] * rax + m[7] * ray_ + m[8]
+
+        y0s, x0s, fxs, fys, needs, oovs = [], [], [], [], [], []
+        y_lo = None
+        y_hi = None
+        x_lo = None
+        x_hi = None
+        for s in range(S):
+            q0 = q_ref[0, s, 0]
+            q1 = q_ref[0, s, 1]
+            q2 = q_ref[0, s, 2]
+            s_i = q0 * rax + q1 * ray_ + q2
+            hx = base_hx - m[9] * s_i
+            hy = base_hy - m[10] * s_i
+            hz = base_hz - m[11] * s_i
+            front = hz > 0
+            hz = jnp.where(jnp.abs(hz) < 1e-12, 1e-12, hz)
+            px = hx / hz
+            py = hy / hz
+            in_view = ((px >= 0) & (px < w_ext) & (py >= 0) & (py < h_ext)
+                       & front)
+            pxc = jnp.clip(px, 0.0, W_src - 1.0)
+            pyc = jnp.clip(py, 0.0, H_src - 1.0)
+            x0f = jnp.floor(pxc)
+            y0f = jnp.floor(pyc)
+            x0 = x0f.astype(jnp.int32)
+            y0 = y0f.astype(jnp.int32) + PAD_TOP       # padded row coords
+            need = vm & in_view
+            y0s.append(y0)
+            x0s.append(x0)
+            fxs.append(pxc - x0f)
+            fys.append(pyc - y0f)
+            needs.append(need)
+            oovs.append(vm & ~in_view)
+            ym = jnp.where(need, y0, 10 ** 8)
+            yM = jnp.where(need, y0, -1)
+            xm = jnp.where(need, x0, 10 ** 8)
+            xM = jnp.where(need, x0, -1)
+            y_lo = ym if y_lo is None else jnp.minimum(y_lo, ym)
+            y_hi = yM if y_hi is None else jnp.maximum(y_hi, yM)
+            x_lo = xm if x_lo is None else jnp.minimum(x_lo, xm)
+            x_hi = xM if x_hi is None else jnp.maximum(x_hi, xM)
+
+        # window bounds (vector->scalar reductions feeding the loop bounds;
+        # 4 per anchor — the per-element gathers they replace cost far more)
+        y_min = jnp.min(y_lo)
+        y_max = jnp.max(y_hi)
+        x_min = jnp.maximum(jnp.min(x_lo), 0)
+        x_max = jnp.max(x_hi)
+        any_need = y_max >= 0
+        base = y_min - (TILE_H - 1)                    # >= 1 (PAD_TOP)
+        n_j = jnp.where(any_need, y_max - base + 1, 0)
+        cb_lo = jnp.where(any_need, x_min // TILE_W, 0)
+        n_cb = jnp.where(any_need, x_max // TILE_W - cb_lo + 1, 0)
+
+        gath = [jnp.zeros((TILE_H, TILE_W), jnp.int32) for _ in range(S)]
+
+        def cb_body(cb_i, gath):
+            col = pl.multiple_of((cb_lo + cb_i) * TILE_W, TILE_W)
+
+            def j_body(j, gath):
+                # win[sigma] = padded row base + j + sigma
+                r = base + j
+                m0 = r % TILE_H
+                a0 = pl.multiple_of(r - m0, TILE_H)
+                blk = jnp.concatenate(
+                    [quads_ref[0, pl.ds(a0, TILE_H), pl.ds(col, TILE_W)],
+                     quads_ref[0, pl.ds(a0 + TILE_H, TILE_H),
+                               pl.ds(col, TILE_W)]], axis=0)
+                win = pltpu.roll(blk, (16 - m0) % 16, axis=0)[:TILE_H]
+                out = []
+                for s in range(S):
+                    loc = jnp.clip(x0s[s] - (cb_lo + cb_i) * TILE_W,
+                                   0, TILE_W - 1)
+                    in_col = ((x0s[s] >= (cb_lo + cb_i) * TILE_W)
+                              & (x0s[s] < (cb_lo + cb_i + 1) * TILE_W))
+                    hit = (y0s[s] - s_iota == r) & in_col & needs[s]
+                    g = jnp.take_along_axis(win, loc, axis=1)
+                    out.append(jnp.where(hit, g, gath[s]))
+                return out
+
+            return jax.lax.fori_loop(0, n_j, j_body, gath)
+
+        gath = jax.lax.fori_loop(0, n_cb, cb_body, gath)
+
+        gi = a // Ag
+        # conditioning shift: the group's first anchor ref intensity
+        # (see kernels/deformable.py — NCC is shift-invariant; this keeps
+        # the f32 moment accumulation O(spread) instead of O(mean^2))
+        c0 = refa_ref[0, gi * Ag]
+        refa_s = refa - c0
+        for s in range(S):
+            g = gath[s]
+            i00 = (g & 0xFF).astype(jnp.float32)
+            i01 = ((g >> 8) & 0xFF).astype(jnp.float32)
+            i10 = ((g >> 16) & 0xFF).astype(jnp.float32)
+            i11 = ((g >> 24) & 0xFF).astype(jnp.float32)
+            fx = fxs[s]
+            fy = fys[s]
+            src = ((i00 * (1 - fx) + i01 * fx) * (1 - fy)
+                   + (i10 * (1 - fx) + i11 * fx) * fy) - c0
+            need_f = needs[s].astype(jnp.float32)
+            w = wcol * need_f
+            ac = acc[s][gi]
+            ac["sw"] += w
+            ac["n"] += need_f
+            ac["m1r"] += w * refa_s
+            ac["m2r"] += w * refa_s * refa_s
+            ac["m1s"] += w * src
+            ac["m2s"] += w * src * src
+            ac["mrs"] += w * refa_s * src
+            n_use[s] += need_f
+            n_oov[s] += oovs[s].astype(jnp.float32)
+
+    for s in range(S):
+        c_num = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        n_sum = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        for gi in range(G):
+            ac = acc[s][gi]
+            inv = 1.0 / jnp.maximum(ac["sw"], 1e-30)
+            m_ref = ac["m1r"] * inv
+            m_ref2 = ac["m2r"] * inv
+            m_src = ac["m1s"] * inv
+            m_src2 = ac["m2s"] * inv
+            m_rs = ac["mrs"] * inv
+            var_r = m_ref2 - m_ref * m_ref
+            var_s = m_src2 - m_src * m_src
+            cov = m_rs - m_ref * m_src
+            ncc = cov / jnp.maximum(
+                jnp.sqrt(jnp.maximum(var_r * var_s, 0.0)), 1e-30)
+            cg = jnp.clip(1.0 - ncc, 0.0, COST_MAX)
+            degenerate = (var_r < _K_MIN_VAR) | (var_s < _K_MIN_VAR)
+            cg = jnp.where(degenerate | (ac["n"] < _MIN_GROUP_SAMPLES),
+                           COST_MAX, cg)
+            c_num += cg * ac["n"]
+            n_sum += ac["n"]
+        c = c_num / jnp.maximum(n_sum, 1.0)
+        c = jnp.where(n_use[s] < _MIN_ANCHOR_SAMPLES, COST_MAX, c)
+        tot = jnp.maximum(n_use[s] + n_oov[s], 1.0)
+        c = (c * n_use[s] + COST_MAX * n_oov[s]) / tot
+        cost_ref[0, 0, s] = c
+        has_ref[0, 0, s] = ((n_use[s] + n_oov[s]) > 0).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def anchor_slot_costs_pallas(
+    packed_quads: jnp.ndarray,     # [V, H, W] int32 per-pixel 2x2 quads
+    M: jnp.ndarray,                # [V, 3, 3]
+    b: jnp.ndarray,                # [V, 3]
+    src_wh: jnp.ndarray,           # [V, 2] f32 (w, h) extents
+    slot_q: jnp.ndarray,           # [S, K, 3] f32 candidate q = n/w
+    rax: jnp.ndarray,              # [A, K] f32 anchor ray x
+    ray: jnp.ndarray,              # [A, K] f32 anchor ray y
+    ref_a: jnp.ndarray,            # [A, K] f32 ref intensity at anchor
+    w_col: jnp.ndarray,            # [A, K] f32 color weight
+    vbits: jnp.ndarray,            # [A, K] int32 usable bitmask (valid&sees)
+    interpret: bool = False,
+) -> AnchorCostTerm:
+    """Slot-exact anchor terms for all S slots at once: cost [S, K, V]."""
+    V, H, W = packed_quads.shape
+    S, K = slot_q.shape[:2]
+    A = rax.shape[0]
+    G = max(A // _MIN_ANCHOR_SAMPLES, 1)
+    Ag = -(-A // G)
+
+    Kp = -(-K // KT_SIZE) * KT_SIZE
+    KT = Kp // KT_SIZE
+    Wp = -(-W // TILE_W) * TILE_W
+
+    Hq = -(-(H + PAD_TOP + PAD_BOT) // TILE_H) * TILE_H
+    quads_pad = jnp.pad(packed_quads,
+                        ((0, 0), (PAD_TOP, Hq - H - PAD_TOP), (0, Wp - W)))
+
+    def tile_k(x, fill=0):
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, Kp - K)]
+        x = jnp.pad(x, pad, constant_values=fill)
+        x = x.reshape(*x.shape[:-1], KT, TILE_H, TILE_W)
+        return jnp.moveaxis(x, -3, 0)      # [KT, ..., 8, 128]
+
+    rax_t = tile_k(rax)
+    ray_t = tile_k(ray)
+    refa_t = tile_k(ref_a)
+    wcol_t = tile_k(w_col)
+    vbits_t = tile_k(vbits)
+    q_t = tile_k(jnp.moveaxis(slot_q, -1, 1))     # [KT, S, 3, 8, 128]
+
+    mats = jnp.concatenate([M.reshape(V, 9), b], axis=1)      # [V, 12]
+
+    grid = (V, KT)
+    kern = functools.partial(_kernel, S=S, A=A, G=G, Ag=Ag,
+                             H_src=H, W_src=W, Wp=Wp)
+    cost, has = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # mats [V,12]
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # wh [V,2]
+            pl.BlockSpec((1, Hq, Wp), lambda v, kt: (v, 0, 0)),
+            pl.BlockSpec((1, A, TILE_H, TILE_W),
+                         lambda v, kt: (kt, 0, 0, 0)),
+            pl.BlockSpec((1, A, TILE_H, TILE_W),
+                         lambda v, kt: (kt, 0, 0, 0)),
+            pl.BlockSpec((1, A, TILE_H, TILE_W),
+                         lambda v, kt: (kt, 0, 0, 0)),
+            pl.BlockSpec((1, A, TILE_H, TILE_W),
+                         lambda v, kt: (kt, 0, 0, 0)),
+            pl.BlockSpec((1, A, TILE_H, TILE_W),
+                         lambda v, kt: (kt, 0, 0, 0)),
+            pl.BlockSpec((1, S, 3, TILE_H, TILE_W),
+                         lambda v, kt: (kt, 0, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, S, TILE_H, TILE_W),
+                         lambda v, kt: (v, kt, 0, 0, 0)),
+            pl.BlockSpec((1, 1, S, TILE_H, TILE_W),
+                         lambda v, kt: (v, kt, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((V, KT, S, TILE_H, TILE_W), jnp.float32),
+            jax.ShapeDtypeStruct((V, KT, S, TILE_H, TILE_W), jnp.float32),
+        ],
+        interpret=interpret,
+    )(mats, src_wh, quads_pad, rax_t, ray_t, refa_t, wcol_t, vbits_t,
+      q_t)
+
+    # [V, KT, S, 8, 128] -> [S, K, V]
+    def unshape(x):
+        x = jnp.moveaxis(x, 0, -1)                 # [KT, S, 8, 128, V]
+        x = jnp.moveaxis(x, 0, 1)                  # [S, KT, 8, 128, V]
+        return x.reshape(S, Kp, V)[:, :K]
+
+    return AnchorCostTerm(cost=unshape(cost), has_anchors=unshape(has) > 0)
+
+
+def anchor_slot_costs_from_ctx(ctx, slot_planes_k, af_k,
+                               interpret: bool = False) -> AnchorCostTerm:
+    """Adapter: build kernel inputs from a CostContext + compacted
+    AnchorFields (same contract as mapping
+    :func:`deformable.anchor_cost_term_for_plane` over the slot axis)."""
+    V = ctx.num_views
+    w4 = slot_planes_k[..., 3:4]
+    q = slot_planes_k[..., :3] / jnp.where(jnp.abs(w4) < 1e-12, 1e-12, w4)
+    sees_bits = jnp.zeros(af_k.sees.shape[1:], jnp.int32)    # [A, K]
+    for v in range(V):
+        sees_bits = sees_bits | (af_k.sees[v].astype(jnp.int32) << v)
+    vbits = jnp.where(af_k.valid, sees_bits, 0)
+    return anchor_slot_costs_pallas(
+        ctx.packed_quads, ctx.M, ctx.b, ctx.src_wh, q,
+        af_k.rax, af_k.ray, af_k.ref_a, af_k.w_col, vbits,
+        interpret=interpret)

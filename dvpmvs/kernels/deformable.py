@@ -271,6 +271,15 @@ def anchor_cost_term_for_plane(
     used_g = grp(usable)
     ref_g = grp(jnp.broadcast_to(af.ref_a[None], src_a.shape))
     src_g = grp(src_a)
+    # Conditioning: NCC is shift-invariant, and raw intensities (0..255)
+    # lose ~5 of f32's 7 digits to cancellation in E[x^2] - E[x]^2 when the
+    # group variance is small; shifting ref AND src by the group's first
+    # anchor intensity makes the accumulated moments O(spread) instead of
+    # O(mean^2).  The Pallas kernel (anchor_pallas.py) applies the SAME
+    # shift so the two paths agree to float tolerance.
+    c0 = ref_g[:, :, :1]
+    ref_g = ref_g - c0
+    src_g = src_g - c0
     sw = jnp.sum(wg, axis=2)
     n_g = jnp.sum(used_g, axis=2)
     inv = 1.0 / jnp.maximum(sw, 1e-30)

@@ -165,9 +165,32 @@ class SceneRunner:
                             use_canny=False)
 
     # ------------------------------------------------------------------
+    _BUDGET_BUCKETS = (0.125, 0.25, 0.375, 0.5)
+
+    def _weak_budget_for(self, static: PMStatic, rids) -> PMStatic:
+        """Adaptive compaction budget: round the measured weak fraction of
+        the input state up to a bucket (bounded recompiles).  The slot-
+        exact anchor terms are linear in the budget (BASELINE.md round-4
+        measurement: 12.2 s at 0.5, 9.95 s at 0.3, 6.4 s floor), and
+        in-pass demotions only shrink the weak set, so the input fraction
+        is an upper bound for the whole pass."""
+        if not static.use_APD:
+            return static
+        frac = 0.0
+        for rid in rids:
+            st = self.state.get(rid)
+            if st is None:
+                return static
+            frac = max(frac, float((st.weak == PixelState.WEAK).mean()))
+        need = frac * 1.15 + 0.02
+        bucket = next((b for b in self._BUDGET_BUCKETS if need <= b),
+                      self._BUDGET_BUCKETS[-1])
+        return static.replace(weak_budget_frac=bucket)
+
     def run_view_pass(self, problem, static: PMStatic, dyn: PMDynamic,
                       scale_size: int, key) -> None:
         rid = problem.ref_image_id
+        static = self._weak_budget_for(static, [rid])
         ref_img, ref_cam = self._scaled_view(rid, scale_size)
         H, W = ref_img.shape
         src_list = []
@@ -406,6 +429,8 @@ class SceneRunner:
         B0 = len(problems)
         reps = -(-B0 // n_dev) * n_dev
         plist = [problems[i % B0] for i in range(reps)]
+        static = self._weak_budget_for(
+            static, [p.ref_image_id for p in plist])
 
         scaled = [self._scaled_view(p.ref_image_id, scale_size)
                   for p in plist]

@@ -69,6 +69,7 @@ def make_scene(
     width: int = 128,
     seed: int = 0,
     weak_disc: bool = False,
+    weak_band: bool = False,
     sphere: bool = False,
     noise: float = 0.0,
 ) -> SyntheticScene:
@@ -161,6 +162,11 @@ def make_scene(
             cz0 = -(d0 + n0[0] * cx0 + n0[1] * cy0) / n0[2]
             d2 = np.sum((X - np.array([cx0, cy0, cz0])) ** 2, axis=-1)
             amp = np.where(d2 < 0.8 ** 2, 0.0, 1.0)
+        if weak_band:
+            # View-consistent textureless horizontal stripe across the
+            # scene (world-space y band) — a wide weak structure whose
+            # depth only the anchor machinery can recover.
+            amp = amp * np.where(np.abs(X[..., 1] - 0.25) < 0.45, 0.0, 1.0)
 
         img = _texture(X, phases, amp)
         if noise > 0.0:

@@ -156,3 +156,67 @@ def test_tiled_pass_rejects_indivisible_rows():
     fn = make_tiled_pass(static, mesh)
     with pytest.raises(ValueError):
         fn(ref_img, src_imgs, ref_cam, src_cams, dyn, jax.random.PRNGKey(0))
+
+
+@pytest.mark.slow
+def test_apd_pass_sharded_matches_unsharded():
+    """The FULL weak machinery (use_APD: anchors, RANSAC fit, deformable
+    slot costs, weak compaction + scatter) under the views mesh produces
+    the per-view results — the compaction (jnp.nonzero size= + scatter-
+    drop) is the likeliest GSPMD breakage (round-3 verdict item 3)."""
+    import jax.tree_util as jtu
+
+    from dvpmvs.config import PixelState
+    from dvpmvs.dist.mesh import make_mesh
+    from dvpmvs.dist.sharding import make_batched_pass, shard_problems
+
+    devs = jax.devices()
+    assert len(devs) >= 4
+    B, H, W, V = 4, 32, 48, 2
+    mesh = make_mesh(4)
+    static = PMStatic(state=RunState.REFINE_INIT, num_src=V,
+                      max_iterations=1, cost_backend="exact", use_APD=True,
+                      rotate_time=2, use_edge=False, use_label=False)
+    scene = make_scene(num_views=4, height=H, width=W, seed=3)
+    cams = scene.cameras
+
+    refs = jnp.asarray(np.stack([scene.images[i] for i in range(B)]))
+    srcs = jnp.asarray(np.stack(
+        [scene.images[[(i + 1) % 4, (i + 2) % 4]] for i in range(B)]))
+    ref_cams = jtu.tree_map(lambda *x: jnp.stack(x),
+                            *[cams[i] for i in range(B)])
+    src_cams_l = [stack_cameras([cams[(i + 1) % 4], cams[(i + 2) % 4]])
+                  for i in range(B)]
+    src_cams = jtu.tree_map(lambda *x: jnp.stack(x), *src_cams_l)
+    dyn1 = PMDynamic.create(depth_min=float(cams[0].depth_min),
+                            depth_max=float(cams[0].depth_max))
+    dyn = jtu.tree_map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), dyn1)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    rng = np.random.default_rng(0)
+    n_w = np.stack([np.einsum("ji,hwj->hwi", np.asarray(cams[i].R),
+                              scene.gt_normal[i]) for i in range(B)])
+    ipw = jnp.asarray(np.concatenate(
+        [n_w, scene.gt_depth[:B, ..., None] * 1.02], -1))
+    isel = jnp.ones((B, H, W, V), bool)
+    iweak = jnp.asarray(
+        np.where(rng.uniform(size=(B, H, W)) < 0.3, PixelState.WEAK,
+                 PixelState.STRONG).astype(np.int8))
+
+    fn = make_batched_pass(static, mesh)
+    args = shard_problems((refs, srcs, ref_cams, src_cams, dyn, keys,
+                           ipw, isel, iweak), mesh)
+    out = fn(*args)
+    assert "views" in str(out.depth.sharding)
+
+    # per-view unsharded references (same static -> same program per view)
+    for i in range(B):
+        ref = run_pass(refs[i], srcs[i], cams[i], src_cams_l[i], static,
+                       dyn1, keys[i],
+                       init_plane_world=ipw[i], init_sel_views=isel[i],
+                       init_weak=iweak[i])
+        d1 = np.asarray(ref.depth)
+        d2 = np.asarray(out.depth[i])
+        rel = np.abs(d1 - d2) / np.maximum(np.abs(d1), 1e-6)
+        assert np.mean(rel > 1e-3) < 0.005, f"view {i}"
+        agree = np.mean(np.asarray(out.weak[i]) == np.asarray(ref.weak))
+        assert agree > 0.99, f"view {i}"
