@@ -178,7 +178,7 @@ def main(argv=None) -> int:
     ps.add_argument("--seed", type=int, default=0)
     ps.set_defaults(fn=_cmd_scene)
 
-    pp = sub.add_parser("prior", help="run DA-V2 -> dep/%08d.dmb maps")
+    pp = sub.add_parser("prior", help="run DA-V2 -> dep/%%08d.dmb maps")
     pp.add_argument("dense_folder")
     pp.add_argument("--checkpoint", default=None,
                     help="released DA-V2 .pth (or .npz) to convert and run")

@@ -23,8 +23,10 @@ Differences from the CUDA design (deliberate, TPU-first):
   * FIRST_INIT re-encodes prior planes into compute form (the reference keeps
     the (world-normal, depth) encoding and feeds it to the homography —
     SURVEY §2.5-class bug, not reproduced);
-  * the deformable cost's anchor part is an anchor-center NCC over the
-    current warp field (see kernels/deformable.py);
+  * the deformable cost's anchor part is a grouped anchor-center NCC warped
+    per evaluated candidate (slot-exact), computed at a compacted band-major
+    list of weak pixels (see kernels/deformable.py, kernels/anchor_pallas.py);
+    weak pixels beyond the compaction budget keep the center-window cost;
   * the adaptive radius map is frozen within a pass (the reference mutates
     it mid-pass from RANSACToGetFitPlane); the updated map feeds the next
     pass.
@@ -41,7 +43,7 @@ import jax.numpy as jnp
 from ..config import PMDynamic, PMStatic, PixelState, RunState
 from ..geometry.camera import Camera
 from ..geometry.transforms import depth_from_plane, plane_from_world
-from ..kernels.deformable import anchor_cost_term, deformable_cost_exact
+from ..kernels.deformable import deformable_cost_exact
 from ..kernels.geom import GeomContext, build_geom_context, geom_consistency_cost
 from ..kernels.median import median_filter_depth
 from ..kernels.ncc import (COST_MAX, CostContext, build_cost_context,
@@ -291,6 +293,42 @@ def _propagate_color_strong(
     )
 
 
+_BAND_LANES = 128   # compaction band width (packed lanes); see _band_compact
+
+
+def _band_compact(weak_pk: jnp.ndarray, K_w: int):
+    """Compacted weak-pixel indices in BAND-MAJOR order.
+
+    Raster-order compaction makes every 1024-pixel kernel tile span the
+    full image width, so the anchor kernel's dynamic gather windows cover
+    ~7 column blocks and (under camera roll, slope ~W*sin(theta)) ~46
+    source rows (measured round 4, bench geometry).  Enumerating weak
+    pixels within vertical bands of ``_BAND_LANES`` packed columns first
+    bounds each tile's spatial extent to the band width: windows shrink to
+    ~2-3 column blocks and the roll term drops by W/band.  The order is
+    just a permutation of the compacted list — every consumer (anchor
+    field gathers, scatters through ``flat_idx``) is order-invariant.
+
+    Returns (flat_idx [K_w] raster flat indices with SZ as the overflow
+    fill, ok_k validity mask).
+    """
+    Hc, Wc = weak_pk.shape
+    SZ = Hc * Wc
+    band = min(_BAND_LANES, Wc)
+    nb = -(-Wc // band)
+    Wp = nb * band
+    SZp = Hc * Wp
+    wpad = jnp.pad(weak_pk, ((0, 0), (0, Wp - Wc)))
+    mask_bm = wpad.reshape(Hc, nb, band).transpose(1, 0, 2).reshape(-1)
+    p = jnp.nonzero(mask_bm, size=K_w, fill_value=SZp)[0]
+    ok_k = p < SZp
+    b, rem = p // (Hc * band), p % (Hc * band)
+    r, c = rem // band, rem % band
+    flat_idx = jnp.where(ok_k, r * Wc + jnp.minimum(b * band + c, Wc - 1),
+                         SZ)
+    return flat_idx, ok_k
+
+
 def _propagate_color_weak(
     state: PMState, anchors: AnchorResult, fit_plane: jnp.ndarray,
     color: int, it, key, ctx, ctx_pk, ctx_yzl, ctx_yzl_pk, gctx,
@@ -325,51 +363,43 @@ def _propagate_color_weak(
             dyn.sigma_color)
         deform_slot = deform
     else:
-        # shared (candidate-independent) anchor term: used only for the 6
-        # random-refinement slots — a documented approximation (the
-        # reference warps anchors per evaluated plane there too; measured
-        # protective against 12-sample NCC noise on random planes); its
-        # cost0 counterpart uses the slot-exact term, so the refinement
-        # acceptance compares across the two anchor models (bias bounded
-        # by the stress-band delta in tests/test_deformable_exact.py)
-        from ..kernels.deformable import (AnchorFields,
-                                          anchor_cost_term_for_plane,
-                                          pack_anchor_fields)
-        af = pack_anchor_fields(ctx_yzl, anchors, state.sel_views, ref_img,
-                                dyn.sigma_color, pk=pk)
-        at = anchor_cost_term(ctx_yzl, state.plane, af)
-
-        # Weak-pixel compaction: the slot-exact anchor term (10 slots x
+        # Weak-pixel compaction: the slot-exact anchor term (per-slot x
         # A x V gathers per pixel) only affects pixels that can COMMIT —
         # weak ones, a minority.  Gather their indices into a fixed-size
-        # list (budget = half the evaluation grid), compute the term on
-        # the list, scatter into the shared-term base.  Weak pixels beyond
-        # the budget keep the shared term (graceful; weak fractions after
-        # demotion are far below 50%).
+        # band-major list (budget = half the evaluation grid), compute the
+        # term on the list, scatter over the center-only base.  EVERY
+        # in-budget slot — the 8 anchor-plane candidates, current, fit,
+        # and the 6 refinement proposals — carries the candidate-DEPENDENT
+        # anchor term (ComputeBilateralNCCNew semantics, APD.cu:835-1021);
+        # weak pixels beyond the budget fall back to the center-window
+        # cost alone (graceful; weak fractions after demotion are far
+        # below the 50% budget).
+        from ..kernels.deformable import (anchor_cost_term_for_plane,
+                                          anchor_fields_at)
         weak_pk = pk(state.weak == PixelState.WEAK)
         SZ = weak_pk.size
         K_w = max(-(-int(SZ * static.weak_budget_frac) // 128) * 128, 128)
         K_w = min(K_w, SZ)
-        flat_idx = jnp.nonzero(weak_pk.reshape(-1), size=K_w,
-                               fill_value=SZ)[0]
-        ok_k = flat_idx < SZ
+        flat_idx, ok_k = _band_compact(weak_pk, K_w)
         gidx = jnp.minimum(flat_idx, SZ - 1)
-        af_k = AnchorFields(
-            *(f.reshape(*f.shape[:-2], SZ)[..., gidx] for f in af))
+        af_k = anchor_fields_at(ctx_yzl, anchors, state.sel_views, ref_img,
+                                dyn.sigma_color, pk, gidx)
+
+        def _scatter_blend(centers, ck):
+            ck = jnp.where(ok_k[None, :, None], ck, 0.0)
+            out = jax.vmap(lambda b, c: b.reshape(SZ, -1)
+                           .at[flat_idx].set(c, mode="drop"))(centers, ck)
+            return out.reshape(centers.shape)
 
         def deform_slots_batched(slot_planes):
-            """Slot costs with the candidate-DEPENDENT anchor term: anchors
-            warped by each slot plane's own homography at the evaluated
-            pixel (ComputeBilateralNCCNew semantics, APD.cu:835-1021) —
-            used for the 8 anchor-plane candidates (the recovery
-            hypotheses) and the current/fit slots.  Center windows run as
-            ONE fused NCC batch (single-plane calls waste the kernel's
-            batch amortization); anchor terms compute at compacted weak
-            pixels over the shared-term base."""
+            """Slot costs with the candidate-dependent anchor term: center
+            windows run as ONE fused NCC batch (single-plane calls waste
+            the kernel's batch amortization); anchor terms compute at the
+            compacted weak pixels and scatter over the center base.
+            Returns the blended dense costs plus the compacted anchor term
+            (reused for the refinement slots)."""
             S = slot_planes.shape[0]
             centers = ncc_cost_batch(ctx_yzl_c, slot_planes, parity=par)
-            base = jnp.where(at.has_anchors[None],
-                             0.25 * centers + 0.75 * at.cost[None], centers)
             pl_k = slot_planes.reshape(S, SZ, 4)[:, gidx]
             if (ctx_yzl.backend == "pallas"
                     and ctx_yzl.packed_quads is not None):
@@ -377,7 +407,8 @@ def _propagate_color_weak(
                 # gathers from VMEM-resident sources (XLA's one-element
                 # gathers dominate the REFINE pass otherwise)
                 from ..kernels.anchor_pallas import anchor_slot_costs_from_ctx
-                at_k = anchor_slot_costs_from_ctx(ctx_yzl, pl_k, af_k)
+                at_k = anchor_slot_costs_from_ctx(ctx_yzl, pl_k, af_k,
+                                                  ok_k=ok_k)
             else:
                 at_k = jax.lax.map(
                     lambda p: anchor_cost_term_for_plane(ctx_yzl, p, af_k),
@@ -385,10 +416,7 @@ def _propagate_color_weak(
             center_k = centers.reshape(S, SZ, -1)[:, gidx]
             ck = jnp.where(at_k.has_anchors,
                            0.25 * center_k + 0.75 * at_k.cost, center_k)
-            ck = jnp.where(ok_k[None, :, None], ck, 0.0)
-            out = jax.vmap(lambda b, c: b.reshape(SZ, -1)
-                           .at[flat_idx].set(c, mode="drop"))(base, ck)
-            return out.reshape(base.shape)
+            return _scatter_blend(centers, ck), at_k
 
     # candidates = the first 8 anchors' planes (APD.cu:2768-2779), gathered
     # for the active color's pixels only
@@ -409,7 +437,7 @@ def _propagate_color_weak(
     if exact:
         slot10 = jax.lax.map(deform_slot, slot_planes)
     else:
-        slot10 = deform_slots_batched(slot_planes)
+        slot10, at10_k = deform_slots_batched(slot_planes)
     cost_array = slot10[:8]
 
     # anchor-based view-selection prior (APD.cu:2788-2801)
@@ -468,11 +496,20 @@ def _propagate_color_weak(
     if exact:
         ref_vec = jax.lax.map(deform, ref_planes)
     else:
-        # shared anchor term, but the 6 center windows as one fused batch
+        # The refinement proposals reuse the CURRENT plane's anchor term
+        # (slot 8 of the batched call) instead of warping anchors by each
+        # random perturbation: the 11-sample anchor NCC is high-variance
+        # on random planes and re-warping it per proposal rewards noise
+        # (measured round 4: slot-exact refinement dropped every weak-
+        # battery scene by 10-20 points; the candidate-independent term is
+        # the documented protective approximation, kernels/deformable.py).
         ref_centers = ncc_cost_batch(ctx_yzl_c, ref_planes, parity=par)
-        ref_vec = jnp.where(at.has_anchors[None],
-                            0.25 * ref_centers + 0.75 * at.cost[None],
-                            ref_centers)
+        center6_k = ref_centers.reshape(6, SZ, -1)[:, gidx]
+        at_cur = at10_k.cost[8]
+        has_cur = at10_k.has_anchors[8]
+        rk = jnp.where(has_cur[None],
+                       0.25 * center6_k + 0.75 * at_cur[None], center6_k)
+        ref_vec = _scatter_blend(ref_centers, rk)
     if gctx is not None:
         ref_vec = ref_vec + dyn.geom_factor * _geom_batch(
             gctx, ref_planes, xs_c, ys_c, ref_cam, static.cost_backend,

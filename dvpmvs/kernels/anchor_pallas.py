@@ -11,11 +11,16 @@ Why a kernel: the XLA path is gather-bound — S*A*V*K one-element gathers
 (~134M per half-iteration at bench scale) at XLA's ~86M elem/s dominate
 the REFINE_ITER pass (measured 5.8 s of a 12.2 s pass, BASELINE.md
 round-4).  Anchors of CONSECUTIVE compacted weak pixels are spatially
-coherent (nearest-strong points along shared rays), so their warped
-positions cluster: this kernel serves each (anchor, view) tile from a
-dynamically-bounded row window of the packed-quad source — one unaligned
-8-row slice + per-row-class lane gather (``take_along_axis``) per distinct
-warped row, instead of one slow gather per element.
+coherent (nearest-strong points along shared rays — provided the caller
+compacts in BAND-MAJOR order, engine/patchmatch.py::_band_compact), so
+their warped positions cluster: this kernel serves each (anchor, view)
+tile from a bounded row window of the packed-quad source — one
+dynamically-anchored chain of aligned loads per (anchor, column block),
+then ASPAN STATIC roll steps each serving every slot's pixels at that row
+offset via one lane gather (``take_along_axis``).  A first version used a
+dynamic per-row loop (2 unaligned loads + a 16-row roll per served row,
+~73 cycles/row); the static structure runs ~6 cycles/row and measured
+3.4x faster end-to-end (306 -> 90 ms at bench scale).
 
 Layout:
   * K compacts to tiles of 8x128 = 1024 pixels; grid = (V, K/1024).
@@ -51,11 +56,23 @@ TILE_H = 8
 TILE_W = 128
 KT_SIZE = TILE_H * TILE_W
 PAD_TOP = 8          # dynamic row slices (base may undershoot) never clamp
-PAD_BOT = 16         # 16-row load chain above y_max never clamps
+# Static per-(anchor, col-block) gather window: ASPAN source rows served by
+# STATIC roll steps from one dynamically-anchored chain of aligned loads
+# (the round-3 dynamic per-row loop paid 2 dynamic loads + a 16-row roll
+# per served row — ~73 cycles/row; the static structure costs ~6).  Window
+# spans beyond ASPAN rows / NCB column blocks clamp to the window edge —
+# the same documented tail the fused NCC kernel's DSPAN carries.  Measured
+# (608x800, V=10, band-major compaction): span p50 48 / p90 59 / max 72,
+# col blocks p90 3 / max 4.
+ASPAN = 64
+NCHAIN = ASPAN // TILE_H
+NCB = 4
+PAD_BOT = (NCHAIN + 2) * TILE_H + TILE_H   # chain loads never clamp
 
 
 def _kernel(mats_ref, wh_ref, quads_ref, rax_ref, ray_ref,
             refa_ref, wcol_ref, vbits_ref, q_ref, cost_ref, has_ref,
+            acc_ref, use_ref,
             *, S, A, G, Ag, H_src, W_src, Wp):
     v = pl.program_id(0)   # this grid row's view
 
@@ -65,15 +82,14 @@ def _kernel(mats_ref, wh_ref, quads_ref, rax_ref, ray_ref,
 
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
 
-    # accumulators: grouped moment sums per (slot, group) + usable/oov
-    zeros = lambda: jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    acc = [[dict(sw=zeros(), n=zeros(), m1r=zeros(), m2r=zeros(),
-                 m1s=zeros(), m2s=zeros(), mrs=zeros())
-            for _ in range(G)] for _ in range(S)]
-    n_use = [zeros() for _ in range(S)]
-    n_oov = [zeros() for _ in range(S)]
+    # scratch accumulators (re-zeroed per grid cell): grouped moment sums
+    # per (slot, group) + usable/oov counts per slot.  Scratch instead of
+    # loop-carry keeps the anchor fori_loop's register state tiny (the
+    # S x G x 7 moment grids would otherwise spill).
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    use_ref[...] = jnp.zeros_like(use_ref)
 
-    for a in range(A):
+    def a_body(a, _):
         # anchor rays arrive precomputed (af.rax/ray) so px/py floor()
         # boundaries match the XLA oracle bitwise
         rax = rax_ref[0, a]
@@ -133,38 +149,58 @@ def _kernel(mats_ref, wh_ref, quads_ref, rax_ref, ray_ref,
         x_min = jnp.maximum(jnp.min(x_lo), 0)
         x_max = jnp.max(x_hi)
         any_need = y_max >= 0
-        base = y_min - (TILE_H - 1)                    # >= 1 (PAD_TOP)
-        n_j = jnp.where(any_need, y_max - base + 1, 0)
-        cb_lo = jnp.where(any_need, x_min // TILE_W, 0)
-        n_cb = jnp.where(any_need, x_max // TILE_W - cb_lo + 1, 0)
+        base = jnp.maximum(y_min - (TILE_H - 1), 1)    # PAD_TOP keeps >= 1
+        cb_cap = max(Wp // TILE_W - NCB, 0)
+        cb_lo = jnp.clip(x_min // TILE_W, 0, cb_cap)
+        n_cb = jnp.where(any_need,
+                         jnp.minimum(x_max // TILE_W - cb_lo + 1, NCB), 0)
+
+        # per-slot window coordinates (rows/cols beyond the static window
+        # clamp to its edge — the documented tail)
+        djs = [jnp.clip(y0s[s] - s_iota - base, 0, ASPAN - 1)
+               for s in range(S)]
+        xls = [jnp.clip(x0s[s] - cb_lo * TILE_W, 0, NCB * TILE_W - 1)
+               for s in range(S)]
+
+        # dynamically-anchored chain alignment (shared by every col block)
+        m0 = base % TILE_H
+        a0 = pl.multiple_of(base - m0, TILE_H)
+        up = (TILE_H - m0) % TILE_H
+        in_lo = s_iota < TILE_H - m0
 
         gath = [jnp.zeros((TILE_H, TILE_W), jnp.int32) for _ in range(S)]
 
         def cb_body(cb_i, gath):
             col = pl.multiple_of((cb_lo + cb_i) * TILE_W, TILE_W)
-
-            def j_body(j, gath):
-                # win[sigma] = padded row base + j + sigma
-                r = base + j
-                m0 = r % TILE_H
-                a0 = pl.multiple_of(r - m0, TILE_H)
-                blk = jnp.concatenate(
-                    [quads_ref[0, pl.ds(a0, TILE_H), pl.ds(col, TILE_W)],
-                     quads_ref[0, pl.ds(a0 + TILE_H, TILE_H),
-                               pl.ds(col, TILE_W)]], axis=0)
-                win = pltpu.roll(blk, (16 - m0) % 16, axis=0)[:TILE_H]
-                out = []
+            # Rs[u][sigma] = source row base + u*8 + sigma: aligned loads
+            # re-anchored by one dynamic sublane roll + select
+            blks = [quads_ref[0, pl.ds(a0 + u * TILE_H, TILE_H),
+                              pl.ds(col, TILE_W)]
+                    for u in range(NCHAIN + 2)]
+            rots = [pltpu.roll(bk, up, axis=0) for bk in blks]
+            Rs = [jnp.where(in_lo, rots[u], rots[u + 1])
+                  for u in range(NCHAIN + 1)]
+            locs, hits = [], []
+            for s in range(S):
+                locs.append(jnp.clip(xls[s] - cb_i * TILE_W, 0, TILE_W - 1))
+                hits.append((xls[s] >= cb_i * TILE_W)
+                            & (xls[s] < (cb_i + 1) * TILE_W) & needs[s])
+            out = list(gath)
+            for j in range(ASPAN):
+                # win[sigma] = source row base + j + sigma (static rolls)
+                r0 = Rs[j // TILE_H]
+                jm = j % TILE_H
+                if jm == 0:
+                    win = r0
+                else:
+                    r1 = Rs[j // TILE_H + 1]
+                    win = jnp.where(s_iota < TILE_H - jm,
+                                    pltpu.roll(r0, TILE_H - jm, axis=0),
+                                    pltpu.roll(r1, TILE_H - jm, axis=0))
                 for s in range(S):
-                    loc = jnp.clip(x0s[s] - (cb_lo + cb_i) * TILE_W,
-                                   0, TILE_W - 1)
-                    in_col = ((x0s[s] >= (cb_lo + cb_i) * TILE_W)
-                              & (x0s[s] < (cb_lo + cb_i + 1) * TILE_W))
-                    hit = (y0s[s] - s_iota == r) & in_col & needs[s]
-                    g = jnp.take_along_axis(win, loc, axis=1)
-                    out.append(jnp.where(hit, g, gath[s]))
-                return out
-
-            return jax.lax.fori_loop(0, n_j, j_body, gath)
+                    g = jnp.take_along_axis(win, locs[s], axis=1)
+                    out[s] = jnp.where((djs[s] == j) & hits[s], g, out[s])
+            return out
 
         gath = jax.lax.fori_loop(0, n_cb, cb_body, gath)
 
@@ -186,28 +222,30 @@ def _kernel(mats_ref, wh_ref, quads_ref, rax_ref, ray_ref,
                    + (i10 * (1 - fx) + i11 * fx) * fy) - c0
             need_f = needs[s].astype(jnp.float32)
             w = wcol * need_f
-            ac = acc[s][gi]
-            ac["sw"] += w
-            ac["n"] += need_f
-            ac["m1r"] += w * refa_s
-            ac["m2r"] += w * refa_s * refa_s
-            ac["m1s"] += w * src
-            ac["m2s"] += w * src * src
-            ac["mrs"] += w * refa_s * src
-            n_use[s] += need_f
-            n_oov[s] += oovs[s].astype(jnp.float32)
+            mom = jnp.stack(
+                [w, need_f, w * refa_s, w * refa_s * refa_s, w * src,
+                 w * src * src, w * refa_s * src])              # [7, 8, 128]
+            acc_ref[s, gi] = acc_ref[s, gi] + mom
+            cnt = jnp.stack([need_f, oovs[s].astype(jnp.float32)])
+            use_ref[s] = use_ref[s] + cnt
+        return 0
+
+    jax.lax.fori_loop(0, A, a_body, 0)
 
     for s in range(S):
+        n_use = use_ref[s, 0]
+        n_oov = use_ref[s, 1]
         c_num = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         n_sum = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         for gi in range(G):
-            ac = acc[s][gi]
-            inv = 1.0 / jnp.maximum(ac["sw"], 1e-30)
-            m_ref = ac["m1r"] * inv
-            m_ref2 = ac["m2r"] * inv
-            m_src = ac["m1s"] * inv
-            m_src2 = ac["m2s"] * inv
-            m_rs = ac["mrs"] * inv
+            ac = acc_ref[s, gi]
+            inv = 1.0 / jnp.maximum(ac[0], 1e-30)
+            n_g = ac[1]
+            m_ref = ac[2] * inv
+            m_ref2 = ac[3] * inv
+            m_src = ac[4] * inv
+            m_src2 = ac[5] * inv
+            m_rs = ac[6] * inv
             var_r = m_ref2 - m_ref * m_ref
             var_s = m_src2 - m_src * m_src
             cov = m_rs - m_ref * m_src
@@ -215,16 +253,16 @@ def _kernel(mats_ref, wh_ref, quads_ref, rax_ref, ray_ref,
                 jnp.sqrt(jnp.maximum(var_r * var_s, 0.0)), 1e-30)
             cg = jnp.clip(1.0 - ncc, 0.0, COST_MAX)
             degenerate = (var_r < _K_MIN_VAR) | (var_s < _K_MIN_VAR)
-            cg = jnp.where(degenerate | (ac["n"] < _MIN_GROUP_SAMPLES),
+            cg = jnp.where(degenerate | (n_g < _MIN_GROUP_SAMPLES),
                            COST_MAX, cg)
-            c_num += cg * ac["n"]
-            n_sum += ac["n"]
+            c_num += cg * n_g
+            n_sum += n_g
         c = c_num / jnp.maximum(n_sum, 1.0)
-        c = jnp.where(n_use[s] < _MIN_ANCHOR_SAMPLES, COST_MAX, c)
-        tot = jnp.maximum(n_use[s] + n_oov[s], 1.0)
-        c = (c * n_use[s] + COST_MAX * n_oov[s]) / tot
+        c = jnp.where(n_use < _MIN_ANCHOR_SAMPLES, COST_MAX, c)
+        tot = jnp.maximum(n_use + n_oov, 1.0)
+        c = (c * n_use + COST_MAX * n_oov) / tot
         cost_ref[0, 0, s] = c
-        has_ref[0, 0, s] = ((n_use[s] + n_oov[s]) > 0).astype(jnp.float32)
+        has_ref[0, 0, s] = ((n_use + n_oov) > 0).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -304,6 +342,10 @@ def anchor_slot_costs_pallas(
             jax.ShapeDtypeStruct((V, KT, S, TILE_H, TILE_W), jnp.float32),
             jax.ShapeDtypeStruct((V, KT, S, TILE_H, TILE_W), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((S, G, 7, TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((S, 2, TILE_H, TILE_W), jnp.float32),
+        ],
         interpret=interpret,
     )(mats, src_wh, quads_pad, rax_t, ray_t, refa_t, wcol_t, vbits_t,
       q_t)
@@ -317,11 +359,15 @@ def anchor_slot_costs_pallas(
     return AnchorCostTerm(cost=unshape(cost), has_anchors=unshape(has) > 0)
 
 
-def anchor_slot_costs_from_ctx(ctx, slot_planes_k, af_k,
+def anchor_slot_costs_from_ctx(ctx, slot_planes_k, af_k, ok_k=None,
                                interpret: bool = False) -> AnchorCostTerm:
     """Adapter: build kernel inputs from a CostContext + compacted
     AnchorFields (same contract as mapping
-    :func:`deformable.anchor_cost_term_for_plane` over the slot axis)."""
+    :func:`deformable.anchor_cost_term_for_plane` over the slot axis).
+
+    ``ok_k`` (bool [K]) marks real compacted pixels; overflow fill slots
+    get zero usable-anchor bits so all-fill tiles skip their gather loops
+    entirely (their outputs are discarded by the caller anyway)."""
     V = ctx.num_views
     w4 = slot_planes_k[..., 3:4]
     q = slot_planes_k[..., :3] / jnp.where(jnp.abs(w4) < 1e-12, 1e-12, w4)
@@ -329,6 +375,8 @@ def anchor_slot_costs_from_ctx(ctx, slot_planes_k, af_k,
     for v in range(V):
         sees_bits = sees_bits | (af_k.sees[v].astype(jnp.int32) << v)
     vbits = jnp.where(af_k.valid, sees_bits, 0)
+    if ok_k is not None:
+        vbits = jnp.where(ok_k[None], vbits, 0)
     return anchor_slot_costs_pallas(
         ctx.packed_quads, ctx.M, ctx.b, ctx.src_wh, q,
         af_k.rax, af_k.ray, af_k.ref_a, af_k.w_col, vbits,

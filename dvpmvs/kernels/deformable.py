@@ -6,16 +6,20 @@ patch NCC at each (distant) strong anchor, gated per view by the anchor's
 visibility; color-only bilateral weights throughout.
 
 TPU adaptation (documented deviation): the per-anchor sparse patches require
-A x 9 x V arbitrary gathers per (pixel, candidate) — far beyond the TPU
-gather budget.  Here the anchor part is ONE weighted NCC over the anchor
-*center* samples, taken from the current plane field's warp
-(W(q) = src(H_{plane(q)}(q))).  This is well-conditioned precisely because
-the anchors were RANSAC-selected to be coplanar: their own planes agree with
-the candidate planes the weak pass evaluates.  The anchor term is computed
-once per half-iteration (it does not depend on the candidate); candidate
-discrimination comes from the exact center-window term, as 0.25/0.75 blend.
-The per-view visibility gating and out-of-view cost_max semantics follow the
-reference.
+A x 9 x V arbitrary gathers per (pixel, candidate) — beyond the TPU gather
+budget at full grid resolution.  The production path instead evaluates a
+grouped weighted NCC over the anchor *center* samples, warped by EACH
+evaluated candidate plane's homography (:func:`anchor_cost_term_for_plane`
+— candidate-dependent, the discrimination mechanism of
+``ComputeBilateralNCCNew``), restricted to a compacted list of weak pixels
+and served by the banded-gather kernel in ``anchor_pallas.py``.  Candidate
+discrimination therefore comes from BOTH the exact center window and the
+anchor term (0.25/0.75 blend); 1-tap anchor centers replace the 9-tap
+sparse patches (the exact 9-tap oracle below quantifies the gap).  The
+per-view visibility gating and out-of-view cost_max semantics follow the
+reference.  :func:`anchor_cost_term` (a candidate-INDEPENDENT warp-field
+variant, one term per half-iteration) is retained for A/B comparison; the
+engine no longer uses it.
 """
 
 from __future__ import annotations
@@ -177,6 +181,39 @@ def pack_anchor_fields(ctx: CostContext, anchors: AnchorResult,
     return AnchorFields(ax=ax, ay=ay, rax=rax, ray=ray_,
                         valid=pk_a(anchors.valid), ref_a=ref_a,
                         w_col=w_col, sees=sees)
+
+
+def anchor_fields_at(ctx: CostContext, anchors: AnchorResult,
+                     sel_views: jnp.ndarray, ref_img: jnp.ndarray,
+                     sigma_color, pk, gidx: jnp.ndarray) -> AnchorFields:
+    """AnchorFields gathered directly at compacted evaluation-grid indices.
+
+    ``gidx`` [K] indexes the flattened packed grid (one checkerboard
+    color).  Skips the dense [A, H', W'] intermediate of
+    :func:`pack_anchor_fields` — the per-pixel ref/selection gathers and
+    the color-weight exp run at K compacted pixels instead of the whole
+    grid (the weak minority is all the slot-exact term ever reads)."""
+    H, W = ref_img.shape
+    V = ctx.num_views
+    pk_a = jax.vmap(pk)
+    flatk = lambda x: x.reshape(*x.shape[:-2], -1)[..., gidx]
+    ax = flatk(pk_a(jnp.clip(anchors.coords[..., 0], 0, W - 1)))   # [A, K]
+    ay = flatk(pk_a(jnp.clip(anchors.coords[..., 1], 0, H - 1)))
+    valid = flatk(pk_a(anchors.valid))
+    idx = ay * W + ax
+    ref_a = ref_img.reshape(-1)[idx]
+    ref_c = pk(ref_img).reshape(-1)[gidx]
+    w_col = jnp.exp(-jnp.abs(ref_a - ref_c[None])
+                    / (2.0 * sigma_color * sigma_color))
+    sel_bits = jnp.zeros((H, W), jnp.int32)
+    for v in range(V):
+        sel_bits = sel_bits | (sel_views[..., v].astype(jnp.int32) << v)
+    selb_a = sel_bits.reshape(-1)[idx]
+    sees = jnp.stack([((selb_a >> v) & 1).astype(bool) for v in range(V)])
+    rax = (ax.astype(jnp.float32) - ctx.cam_cx) * ctx.inv_fx
+    ray_ = (ay.astype(jnp.float32) - ctx.cam_cy) * ctx.inv_fy
+    return AnchorFields(ax=ax, ay=ay, rax=rax, ray=ray_, valid=valid,
+                        ref_a=ref_a, w_col=w_col, sees=sees)
 
 
 def anchor_cost_term_for_plane(

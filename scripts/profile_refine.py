@@ -16,6 +16,7 @@ from dvpmvs.geometry import stack_cameras
 from dvpmvs.geometry.transforms import dist_to_origin
 from dvpmvs.kernels.deformable import (anchor_cost_term,
                                        anchor_cost_term_for_plane,
+                                       anchor_fields_at,
                                        AnchorFields, pack_anchor_fields)
 from dvpmvs.kernels.geom import build_geom_context, geom_consistency_cost
 from dvpmvs.kernels.ncc import build_cost_context, ncc_cost_batch
@@ -101,27 +102,36 @@ timeit("local_refine (geom)", lambda dd: local_refine(
 
 # ---- per-half-iteration weak stages (x6) ----
 pk = lambda a: pack_parity(a, 0)
-af = timeit("pack_anchor_fields", lambda pl, sv: pack_anchor_fields(
-    ctx_yzl, anchors, sv, ref_img, dyn.sigma_color, pk=pk),
-    plane, sel, calls=6)
-
-timeit("anchor_cost_term (shared, packed)", lambda pl: anchor_cost_term(
-    ctx_yzl, pl, af), plane, calls=6)
+from dvpmvs.engine.patchmatch import _band_compact
 
 SZ = (H * W) // 2
 K_w = max(-(-int(SZ * BUDGET) // 128) * 128, 128)
-flat_idx = jnp.nonzero(pk(weak == PixelState.WEAK).reshape(-1), size=K_w,
-                       fill_value=SZ)[0]
+flat_idx, ok_k = jax.jit(lambda w: _band_compact(w, K_w))(
+    pk(weak == PixelState.WEAK))
 gidx = jnp.minimum(flat_idx, SZ - 1)
-af_k = AnchorFields(*(f.reshape(*f.shape[:-2], SZ)[..., gidx] for f in af))
+af_k = timeit("anchor_fields_at (compacted)",
+              lambda pl, sv: anchor_fields_at(
+                  ctx_yzl, anchors, sv, ref_img, dyn.sigma_color, pk, gidx),
+              plane, sel, calls=6)
 slot_planes = jnp.broadcast_to(pk(plane)[None], (10, H // 1, W // 2, 4)) \
     if backend == "pallas" else jnp.broadcast_to(plane[None], (10, H, W, 4))
 pl_k = slot_planes.reshape(10, SZ, 4)[:, gidx]
 
-timeit(f"anchor_term_for_plane x10 (K={K_w})",
-       lambda p10: jax.lax.map(
-           lambda p: anchor_cost_term_for_plane(ctx_yzl, p, af_k), p10),
-       pl_k, calls=6)
+if backend == "pallas":
+    from dvpmvs.kernels.anchor_pallas import anchor_slot_costs_from_ctx
+    timeit(f"anchor_slot_costs_pallas x10 (K={K_w})",
+           lambda p10: anchor_slot_costs_from_ctx(ctx_yzl, p10, af_k,
+                                                  ok_k=ok_k),
+           pl_k, calls=6)
+    timeit(f"anchor_slot_costs_pallas x6 (refinement)",
+           lambda p6: anchor_slot_costs_from_ctx(ctx_yzl, p6, af_k,
+                                                 ok_k=ok_k),
+           pl_k[:6], calls=6)
+else:
+    timeit(f"anchor_term_for_plane x10 (K={K_w})",
+           lambda p10: jax.lax.map(
+               lambda p: anchor_cost_term_for_plane(ctx_yzl, p, af_k), p10),
+           pl_k, calls=6)
 
 ctx_c = ctx_yzl_pk if backend == "pallas" else ctx_yzl
 par = 0 if backend == "pallas" else None
