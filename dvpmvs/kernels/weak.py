@@ -398,13 +398,23 @@ def find_anchors(
     else:
         bypass = jnp.zeros((H, W), bool)
 
+    # plane at each pixel's nearest strong point, gathered ONCE: the walk
+    # below then carries candidate PLANES alongside coordinates, replacing
+    # the [D, H, W] 4-channel plane gather at the end (~136 ms of the
+    # round-4 bench stage) with cheap dense selects during the walk
+    ns_idx = (jnp.clip(ns_coords[..., 1], 0, H - 1) * W
+              + jnp.clip(ns_coords[..., 0], 0, W - 1))
+    plane_ns = plane.reshape(-1, 4)[ns_idx]                # [H, W, 4]
+
     anchor_x = []
     anchor_y = []
     anchor_ok = []
+    anchor_pl = []
     for (ux, uy) in dirs:
         found = jnp.zeros((H, W), bool)
         ax = jnp.full((H, W), -1, jnp.int32)
         ay = jnp.full((H, W), -1, jnp.int32)
+        apl = jnp.zeros((H, W, 4), plane.dtype)
         blocked = jnp.zeros((H, W), bool)
         prev_dx = prev_dy = 0
         for r in radii:
@@ -430,6 +440,9 @@ def find_anchors(
             red_ok = inb & shift_map(ns_valid, dx, dy)
             cx = jnp.where(cand_strong, xs + dx, red_x)
             cy = jnp.where(cand_strong, ys + dy, red_y)
+            cpl = jnp.where(cand_strong[..., None],
+                            shift_map(plane, dx, dy),
+                            shift_map(plane_ns, dx, dy))
             # angular-cone test (APD.cu:3437-3441): a redirected anchor must
             # still lie within the ray's half-angle cone, else keep searching
             # outward — this is what preserves directional anchor spread.
@@ -443,10 +456,12 @@ def find_anchors(
             take = ok & ~found
             ax = jnp.where(take, cx, ax)
             ay = jnp.where(take, cy, ay)
+            apl = jnp.where(take[..., None], cpl, apl)
             found = found | take
         anchor_x.append(ax)
         anchor_y.append(ay)
         anchor_ok.append(found)
+        anchor_pl.append(apl)
 
     # --- label-boundary in-region candidates (APD.cu:3461-3539)
     if label is not None and label_dist is not None:
@@ -462,6 +477,7 @@ def find_anchors(
                 reach = steps_b * frac
                 ax = jnp.full((H, W), -1, jnp.int32)
                 ay = jnp.full((H, W), -1, jnp.int32)
+                apl = jnp.zeros((H, W, 4), plane.dtype)
                 found = jnp.zeros((H, W), bool)
                 for s in ladder:
                     dx, dy = ux * s, uy * s
@@ -478,24 +494,26 @@ def find_anchors(
                     red_ok = oks & shift_map(ns_valid, dx, dy)
                     cx = jnp.where(cand_strong, sxp, red_x)
                     cy = jnp.where(cand_strong, syp, red_y)
+                    cpl = jnp.where(cand_strong[..., None],
+                                    shift_map(plane, dx, dy),
+                                    shift_map(plane_ns, dx, dy))
                     take = cand_strong | red_ok   # keep the farthest valid
                     ax = jnp.where(take, cx, ax)
                     ay = jnp.where(take, cy, ay)
+                    apl = jnp.where(take[..., None], cpl, apl)
                     found = found | take
                 anchor_x.append(ax)
                 anchor_y.append(ay)
                 anchor_ok.append(found)
+                anchor_pl.append(apl)
 
     cand_x = jnp.stack(anchor_x)          # [D, H, W]
     cand_y = jnp.stack(anchor_y)
     cand_ok = jnp.stack(anchor_ok)
     D = cand_x.shape[0]
 
-    # --- gather candidate 3D points + normals at anchor coords
-    flat = lambda a: a.reshape(-1)
-    idx = jnp.clip(cand_y, 0, H - 1) * W + jnp.clip(cand_x, 0, W - 1)
-    pl_flat = plane.reshape(-1, 4)
-    a_plane = pl_flat[idx]                # [D, H, W, 4]
+    # --- candidate 3D points + normals (planes carried by the walk)
+    a_plane = jnp.stack(anchor_pl)        # [D, H, W, 4]
     fx = ref_cam.fx
     fy = ref_cam.fy
     cxk = ref_cam.cx
@@ -609,12 +627,27 @@ def find_anchors(
     a_dist = jnp.abs(fit_depth_a - a_pt[..., 2])
     a_inlier = cand_ok & (a_dist / depth_range < ransac_threshold)
     rank_key = jnp.where(a_inlier, a_dist, jnp.inf)
-    order = jnp.argsort(rank_key, axis=0)[:NUM_ANCHORS]      # [A, H, W]
-    sel_x = jnp.take_along_axis(cand_x, order, axis=0)
-    sel_y = jnp.take_along_axis(cand_y, order, axis=0)
-    sel_ok = jnp.take_along_axis(a_inlier, order, axis=0)
-    sel_x = jnp.where(sel_ok, sel_x, -1)
-    sel_y = jnp.where(sel_ok, sel_y, -1)
+    # iterative top-NUM_ANCHORS instead of argsort along the leading axis:
+    # a D-deep axis-0 sort relayouts on TPU (~260 ms of the 437 ms pass
+    # stage at bench scale, round-4 profile); NUM_ANCHORS masked-argmin
+    # passes are pure VPU work.  First-index tie-breaking matches the
+    # stable argsort.
+    key_i = rank_key
+    sel_x_l, sel_y_l, sel_ok_l = [], [], []
+    for _ in range(NUM_ANCHORS):
+        best = jnp.min(key_i, axis=0)                        # [H, W]
+        is_min = key_i == best[None]
+        first = is_min & (jnp.cumsum(is_min.astype(jnp.int32), axis=0)
+                          == 1)
+        pick = lambda f: jnp.sum(jnp.where(first, f, 0), axis=0)
+        ok_a = jnp.isfinite(best)
+        sel_x_l.append(jnp.where(ok_a, pick(cand_x), -1))
+        sel_y_l.append(jnp.where(ok_a, pick(cand_y), -1))
+        sel_ok_l.append(ok_a)
+        key_i = jnp.where(first, jnp.inf, key_i)
+    sel_x = jnp.stack(sel_x_l)
+    sel_y = jnp.stack(sel_y_l)
+    sel_ok = jnp.stack(sel_ok_l)
 
     weak_mask = weak == PixelState.WEAK
     reliable = weak_mask & has_plane & (count > 3)
