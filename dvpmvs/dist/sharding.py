@@ -32,9 +32,21 @@ def shard_problems(tree, mesh: Mesh, axis: str = "views"):
 
 def make_batched_pass(static: PMStatic, mesh: Optional[Mesh] = None,
                       axis: str = "views", donate: bool = False):
-    """vmapped + jitted run_pass over a leading problem axis.
+    """jitted run_pass over a leading problem axis: shard_map + lax.map.
 
-    Inputs (leading axis B = number of problems):
+    The batch axis shards over the mesh with ``shard_map`` and each device
+    runs its LOCAL problems one at a time through an unbatched ``run_pass``
+    (``lax.map``; a local batch of one short-circuits the scan).  NOT
+    ``vmap``: vmapping the pass prepends the batch dim to the Pallas
+    kernels' SMEM scalar operands, which Mosaic cannot lower on TPU
+    (verified round 4 — ``Block spec ... (Squeezed(), Blocked(8)) ... in
+    memory space smem``), and batching every op also multiplies the XLA
+    program size, which blew the CPU compile budget of MULTICHIP_r04.
+    Per-slice execution keeps the compiled program identical to the
+    single-view pass (same kernels, same fusion decisions) regardless of
+    batch size, so the production Pallas backend lowers under the mesh.
+
+    Inputs (leading axis B = number of problems, divisible by the mesh):
       ref_imgs   [B, H, W]
       src_imgs   [B, V, H, W]
       ref_cams   Camera pytree with leading [B]
@@ -44,18 +56,31 @@ def make_batched_pass(static: PMStatic, mesh: Optional[Mesh] = None,
       optional: init_plane_world [B, H, W, 4], init_sel [B, H, W, V],
                 init_weak [B, H, W], src_depths [B, V, H, W]
     """
+    fn = partial(run_pass, static=static)
+
+    def one(sl):
+        (ri, si, rc, sc, dd, kk, ipw, isel, iw, sd, rm, eg, lb) = sl
+        return fn(ri, si, rc, sc, dyn=dd, key=kk, init_plane_world=ipw,
+                  init_sel_views=isel, init_weak=iw, src_depths=sd,
+                  radius_map=rm, edge=eg, label=lb)
+
+    def local(*xs):
+        n_local = xs[5].shape[0]              # keys [B_local, 2]
+        if n_local == 1:
+            out = one(jax.tree.map(lambda a: a[0], xs))
+            return jax.tree.map(lambda a: a[None], out)
+        return jax.lax.map(one, xs)
+
     def batched(ref_imgs, src_imgs, ref_cams, src_cams, dyn, keys,
                 init_plane_world=None, init_sel=None, init_weak=None,
                 src_depths=None, radius_map=None, edge=None, label=None):
-        fn = partial(run_pass, static=static)
-        return jax.vmap(
-            lambda ri, si, rc, sc, dd, kk, ipw, isel, iw, sd, rm, eg, lb: fn(
-                ri, si, rc, sc, dyn=dd, key=kk, init_plane_world=ipw,
-                init_sel_views=isel, init_weak=iw, src_depths=sd,
-                radius_map=rm, edge=eg, label=lb),
-        )(ref_imgs, src_imgs, ref_cams, src_cams, dyn, keys,
-          init_plane_world, init_sel, init_weak, src_depths, radius_map,
-          edge, label)
+        xs = (ref_imgs, src_imgs, ref_cams, src_cams, dyn, keys,
+              init_plane_world, init_sel, init_weak, src_depths,
+              radius_map, edge, label)
+        if mesh is None:
+            return local(*xs)
+        return jax.shard_map(local, mesh=mesh, in_specs=P(axis),
+                             out_specs=P(axis), check_vma=False)(*xs)
 
     if mesh is None:
         return jax.jit(batched)

@@ -296,6 +296,13 @@ def _propagate_color_strong(
 _BAND_LANES = 128   # compaction band width (packed lanes); see _band_compact
 
 
+def _weak_budget(SZ: int, frac: float) -> int:
+    """Compaction budget K_w: frac of the evaluation grid, rounded up to a
+    lane multiple (128), floored at one tile, capped at the grid."""
+    K_w = max(-(-int(SZ * frac) // 128) * 128, 128)
+    return min(K_w, SZ)
+
+
 def _band_compact(weak_pk: jnp.ndarray, K_w: int):
     """Compacted weak-pixel indices in BAND-MAJOR order.
 
@@ -378,8 +385,7 @@ def _propagate_color_weak(
                                           anchor_fields_at)
         weak_pk = pk(state.weak == PixelState.WEAK)
         SZ = weak_pk.size
-        K_w = max(-(-int(SZ * static.weak_budget_frac) // 128) * 128, 128)
-        K_w = min(K_w, SZ)
+        K_w = _weak_budget(SZ, static.weak_budget_frac)
         flat_idx, ok_k = _band_compact(weak_pk, K_w)
         gidx = jnp.minimum(flat_idx, SZ - 1)
         af_k = anchor_fields_at(ctx_yzl, anchors, state.sel_views, ref_img,
@@ -675,6 +681,25 @@ def run_pass(
         weak = jnp.where((weak == PixelState.WEAK) & ~anchors.reliable,
                          PixelState.UNKNOWN, weak).astype(jnp.int8)
 
+    # Compaction-budget overflow diagnostic (advisor r4): weak pixels past
+    # K_w silently fall back to the center-window cost, so surface the
+    # worst-case count.  The in-pass weak set only shrinks (demotions), so
+    # the initial count bounds every iteration's compaction.
+    weak_overflow = None
+    if use_apd and not static.exact_deformable:
+        wk0 = weak == PixelState.WEAK
+        if static.cost_backend == "pallas":
+            ofl = []
+            for color in (0, 1):
+                wpk = pack_parity(wk0, color)
+                ofl.append(jnp.sum(wpk)
+                           - _weak_budget(wpk.size, static.weak_budget_frac))
+            over = jnp.maximum(ofl[0], ofl[1])
+        else:
+            over = jnp.sum(wk0) - _weak_budget(
+                wk0.size, static.weak_budget_frac)
+        weak_overflow = jnp.maximum(over, 0).astype(jnp.int32)
+
     state = PMState(plane=plane, cost=cost, sel_views=sel_views,
                     view_weights=jnp.zeros((H, W, V), jnp.float32),
                     weak=weak, radius=radius)
@@ -748,7 +773,7 @@ def run_pass(
     return PassOutput(depth=depth, normal_world=normal_world, cost=state.cost,
                       weak=weak_new, sel_views=state.sel_views,
                       view_weights=state.view_weights, radius=radius_out,
-                      **dbg)
+                      weak_overflow=weak_overflow, **dbg)
 
 
 def make_pass_fn(static: PMStatic):

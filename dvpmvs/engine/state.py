@@ -48,3 +48,9 @@ class PassOutput(struct.PyTreeNode):
     cost_line: jnp.ndarray | None = None    # [61, H, W] sweep cost curves
     anchors_xy: jnp.ndarray | None = None   # [A, H, W, 2] int32 (x, y)
     anchors_valid: jnp.ndarray | None = None  # [A, H, W] bool
+    # Weak-compaction budget overflow: max over checkerboard colors of
+    # (initial weak count - K_w).  > 0 means some weak pixels fell back to
+    # the center-window cost alone (silent accuracy cliff otherwise —
+    # advisor r4); the runner surfaces it.  None when use_APD is off or
+    # exact mode bypasses compaction.
+    weak_overflow: jnp.ndarray | None = None  # int32 scalar

@@ -233,8 +233,12 @@ def anchor_cost_term_for_plane(
     evaluated pixel, restoring discrimination at anchor-center (1-tap)
     granularity.  Used for the 8 anchor-plane candidate slots and the
     current/fit slots (the weak recovery path); the 6 random-refinement
-    slots keep the shared approximation.  Runs on the evaluation grid
-    (checkerboard-packed in production: ``af`` built with the pack fn).
+    proposals reuse the CURRENT plane's slot-exact term from this batch
+    (slot 8) instead of re-warping per perturbation — the 11-sample anchor
+    NCC is high-variance on random planes and re-warping rewards noise
+    (engine/patchmatch.py, refinement-slot reuse; measured round 4).  Runs
+    on the evaluation grid (checkerboard-packed in production: ``af``
+    built with the pack fn).
     """
     H, W = ctx.shape
     V = ctx.num_views

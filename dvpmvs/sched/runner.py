@@ -275,6 +275,12 @@ class SceneRunner:
         out = fn(jnp.asarray(ref_img), jnp.asarray(src_imgs), ref_cam,
                  src_cams, dyn=dyn, key=key, **kwargs)
 
+        if out.weak_overflow is not None and int(out.weak_overflow) > 0:
+            self.metrics.count("weak_budget_overflow_px",
+                               int(out.weak_overflow))
+            self._log(f"view {rid}: weak-compaction budget overflow "
+                      f"{int(out.weak_overflow)} px fell back to "
+                      f"center-window cost (raise weak_budget_frac)")
         sel = np.asarray(out.sel_views)
         sel = visibility_cleanup(sel, scale_size)
         self.state[rid] = ViewState(
@@ -620,6 +626,13 @@ class SceneRunner:
             args = shard_problems(args, mesh)
             kw = {k: shard_problems(v, mesh) for k, v in kw.items()}
         out = fn(*args, **kw)
+
+        if out.weak_overflow is not None:
+            mx = int(np.max(np.asarray(out.weak_overflow)))
+            if mx > 0:
+                self.metrics.count("weak_budget_overflow_px", mx)
+                self._log(f"weak-compaction budget overflow: worst view "
+                          f"{mx} px fell back to center-window cost")
 
         # ---- unbatch: per-src visibility CC cleanup stays host-side (the
         # reference's is too, main.cpp:287-363); the cleaned masks are

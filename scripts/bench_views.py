@@ -7,6 +7,11 @@ The reference runs up to 20 source views (pair.txt top-20; MAX_IMAGES=32,
 
 Prints per-pass times and acc2% at bench geometry (608x800, 3 iterations,
 30% weak REFINE) for each view count.
+
+Note (advisor r4): V > 4 is synthesized by CYCLING the scene's 4 source
+cameras, so throughput/scaling numbers are representative but the acc2%
+and view-selection behavior at V=20 are NOT those of 20 distinct views —
+do not read the V=20 accuracy as a fidelity result.
 """
 import sys
 import time
