@@ -123,10 +123,15 @@ def main():
     # DepthToWeak's own classification), and src_depths are the other
     # views' FIRST_INIT depths — no ground truth enters the pass, so
     # refine_acc2 measures recovery from a real photometric init.
+    # use_edge=True is the production configuration: round_pass_params
+    # keeps the reference's permanent use_edge default (main.h), so every
+    # scheduled REFINE_ITER runs the edge-adaptive dual scan — benching
+    # the non-edge ACMM branch (3 extended far-propagation rounds) timed
+    # a pass the schedule never executes.
     static_r = PMStatic(state=RunState.REFINE_ITER, num_src=V,
                         max_iterations=ITERS, cost_backend=backend,
                         use_APD=True, geom_consistency=True,
-                        use_edge=False, use_label=False)
+                        use_label=False)
     src_first_depth = {}
     for v in range(1, 5):
         v_reps = [[i for i in range(5) if i != v][j % 4] for j in range(V)]
@@ -145,12 +150,13 @@ def main():
     sel = out.sel_views
     weak = out.weak
     src_depths = jnp.stack([src_first_depth[r] for r in reps])
-    fn_r = jax.jit(lambda ri, si, rc, sc, dd, kk, ipw, isel, iw, sd:
+    fn_r = jax.jit(lambda ri, si, rc, sc, dd, kk, ipw, isel, iw, sd, eg:
                    run_pass(ri, si, rc, sc, static_r, dd, kk,
                             init_plane_world=ipw, init_sel_views=isel,
-                            init_weak=iw, src_depths=sd))
+                            init_weak=iw, src_depths=sd, edge=eg))
     args_r = (ref_img, src_imgs, ref_cam, src_cams, dyn,
-              jax.random.PRNGKey(0), init_world, sel, weak, src_depths)
+              jax.random.PRNGKey(0), init_world, sel, weak, src_depths,
+              edge)
     out_r = fn_r(*args_r)
     out_r.depth.block_until_ready()
     refine_acc = acc2(out_r.depth)

@@ -73,6 +73,15 @@ class PMStatic:
                                     # weak cost (gather-bound oracle; the
                                     # default is the warp-field approximation
                                     # in kernels/deformable.py)
+    # Sparse-patch taps per (anchor, view) in the PRODUCTION anchor term:
+    # 1 = anchor center only (default); 2..3 add the reference's per-view
+    # visibility-aware patch-candidate offsets (APD.cu:3744-3794, consumed
+    # at 940-1004) as extra samples of the grouped anchor NCC — the taps
+    # ride the same banded-gather kernel (kernels/anchor_pallas.py), at
+    # ~T x its gather cost.  Differs from the reference's per-anchor 9-tap
+    # NCC (exact_deformable) in grouping only; empty candidate slots fall
+    # back to the fixed +-5 grid exactly as the reference does.
+    anchor_taps: int = 1
     # Weak-pixel compaction budget as a fraction of the evaluation grid:
     # the slot-exact anchor terms compute only at this many compacted weak
     # indices (gather-bound — the dominant REFINE_ITER cost).  Weak pixels

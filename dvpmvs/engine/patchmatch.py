@@ -341,7 +341,7 @@ def _propagate_color_weak(
     color: int, it, key, ctx, ctx_pk, ctx_yzl, ctx_yzl_pk, gctx,
     ref_img, ref_cam, src_cams,
     static: PMStatic, dyn: PMDynamic, xs, ys, rx, ry, parity,
-    patch_off=None,
+    patch_off=None, tap_fields=None,
 ):
     """One weak half-iteration (CheckerboardPropagationWeak, APD.cu:2739-3089).
 
@@ -390,6 +390,25 @@ def _propagate_color_weak(
         gidx = jnp.minimum(flat_idx, SZ - 1)
         af_k = anchor_fields_at(ctx_yzl, anchors, state.sel_views, ref_img,
                                 dyn.sigma_color, pk, gidx)
+        # Weak-tile restriction: every cost this half-iteration computes
+        # commits ONLY at weak pixels (the trailing mask), so 8x128 tiles
+        # without a single weak pixel skip the center-window NCC batches
+        # entirely — the reference launches its weak kernels on the weak
+        # list only (APD.cu:2739-2744).  Skipped tiles read COST_MAX;
+        # every consumer is discarded at non-weak pixels by the commit.
+        wt01 = (tile_plane_mask(weak_pk[None])
+                if ctx_yzl.backend == "pallas" else None)
+        pmask_s = (lambda S_: None if wt01 is None
+                   else wt01 * ((1 << S_) - 1))
+        tap_w = None
+        if tap_fields is not None:
+            # sparse-patch tap mode (PMStatic.anchor_taps > 1): one gather
+            # at the compacted anchor positions serves every per-view tap
+            from ..kernels.deformable import gather_tap_words
+            ref_c_k = pk(ref_img).reshape(-1)[gidx]
+            tap_w = gather_tap_words(tap_fields, af_k, ref_c_k,
+                                     dyn.sigma_color, W,
+                                     static.anchor_taps - 1)
 
         def _scatter_blend(centers, ck):
             ck = jnp.where(ok_k[None, :, None], ck, 0.0)
@@ -405,7 +424,8 @@ def _propagate_color_weak(
             Returns the blended dense costs plus the compacted anchor term
             (reused for the refinement slots)."""
             S = slot_planes.shape[0]
-            centers = ncc_cost_batch(ctx_yzl_c, slot_planes, parity=par)
+            centers = ncc_cost_batch(ctx_yzl_c, slot_planes, parity=par,
+                                     plane_mask=pmask_s(S))
             pl_k = slot_planes.reshape(S, SZ, 4)[:, gidx]
             if (ctx_yzl.backend == "pallas"
                     and ctx_yzl.packed_quads is not None):
@@ -414,10 +434,12 @@ def _propagate_color_weak(
                 # gathers dominate the REFINE pass otherwise)
                 from ..kernels.anchor_pallas import anchor_slot_costs_from_ctx
                 at_k = anchor_slot_costs_from_ctx(ctx_yzl, pl_k, af_k,
-                                                  ok_k=ok_k)
+                                                  ok_k=ok_k,
+                                                  tap_words=tap_w)
             else:
                 at_k = jax.lax.map(
-                    lambda p: anchor_cost_term_for_plane(ctx_yzl, p, af_k),
+                    lambda p: anchor_cost_term_for_plane(ctx_yzl, p, af_k,
+                                                         tap_w),
                     pl_k)
             center_k = centers.reshape(S, SZ, -1)[:, gidx]
             ck = jnp.where(at_k.has_anchors,
@@ -509,7 +531,8 @@ def _propagate_color_weak(
         # (measured round 4: slot-exact refinement dropped every weak-
         # battery scene by 10-20 points; the candidate-independent term is
         # the documented protective approximation, kernels/deformable.py).
-        ref_centers = ncc_cost_batch(ctx_yzl_c, ref_planes, parity=par)
+        ref_centers = ncc_cost_batch(ctx_yzl_c, ref_planes, parity=par,
+                                     plane_mask=pmask_s(6))
         center6_k = ref_centers.reshape(6, SZ, -1)[:, gidx]
         at_cur = at10_k.cost[8]
         has_cur = at10_k.has_anchors[8]
@@ -539,8 +562,12 @@ def _propagate_color_weak(
         plane_new = plane_now
 
     # re-cost with the strong full-window NCC for comparability
-    # (APD.cu:3072-3088)
-    final_vec = ncc_cost(ctx_c, plane_new, parity=par)
+    # (APD.cu:3072-3088); same weak-tile restriction as the slot batches
+    if not exact and use_pk and ctx_yzl.backend == "pallas":
+        final_vec = ncc_cost_batch(ctx_c, plane_new[None], parity=par,
+                                   plane_mask=pmask_s(1))[0]
+    else:
+        final_vec = ncc_cost(ctx_c, plane_new, parity=par)
     cost_final = weighted_cost(final_vec, view_weights, weight_norm)
 
     if use_pk:
@@ -663,11 +690,22 @@ def run_pass(
 
     # anchor generation (GenNeighbours + NeigbourUpdate)
     patch_off = None
+    tap_fields = None
     if use_apd:
         if static.exact_deformable:
             from ..kernels.weak import patch_candidates
             patch_off = patch_candidates(ref_img, sel_views, dyn.sigma_color,
                                          weak_radius=static.weak_radius)
+        elif static.anchor_taps > 1:
+            # production sparse-patch taps: the same per-view visibility-
+            # aware candidates (APD.cu:3744-3794), packed into dense
+            # per-anchor-position fields once per pass
+            from ..kernels.deformable import pack_tap_fields
+            from ..kernels.weak import patch_candidates
+            patch_off = patch_candidates(ref_img, sel_views, dyn.sigma_color,
+                                         weak_radius=static.weak_radius)
+            tap_fields = pack_tap_fields(ref_img, patch_off,
+                                         static.anchor_taps - 1)
         anchors = find_anchors(
             weak, plane, ref_cam, k_weak,
             rotate_time=static.rotate_time,
@@ -726,7 +764,8 @@ def run_pass(
                     st, anchors, fit_plane, color, it, k_it, ctx,
                     ctx_pks[color], ctx_yzl, ctx_yzl_pks[color],
                     gctx, ref_img, ref_cam, src_cams, static, dyn,
-                    xs, ys, rx, ry, parity, patch_off=patch_off)
+                    xs, ys, rx, ry, parity, patch_off=patch_off,
+                    tap_fields=tap_fields)
         return st
 
     state = jax.lax.fori_loop(0, static.max_iterations, iteration, state)

@@ -70,15 +70,23 @@ NCB = 4
 PAD_BOT = (NCHAIN + 2) * TILE_H + TILE_H   # chain loads never clamp
 
 
-def _kernel(mats_ref, wh_ref, quads_ref, rax_ref, ray_ref,
-            refa_ref, wcol_ref, vbits_ref, q_ref, cost_ref, has_ref,
-            acc_ref, use_ref,
-            *, S, A, G, Ag, H_src, W_src, Wp):
+def _kernel(*refs, S, A, G, Ag, H_src, W_src, Wp, n_extra):
+    if n_extra:
+        (mats_ref, wh_ref, cam_ref, taps_ref, quads_ref, rax_ref, ray_ref,
+         refa_ref, wcol_ref, vbits_ref, q_ref, cost_ref, has_ref,
+         acc_ref, use_ref) = refs
+    else:
+        (mats_ref, wh_ref, quads_ref, rax_ref, ray_ref, refa_ref,
+         wcol_ref, vbits_ref, q_ref, cost_ref, has_ref,
+         acc_ref, use_ref) = refs
+        cam_ref = taps_ref = None
     v = pl.program_id(0)   # this grid row's view
 
     m = [mats_ref[v, i] for i in range(12)]
     w_ext = wh_ref[v, 0]
     h_ext = wh_ref[v, 1]
+    inv_fx = cam_ref[0] if n_extra else 0.0
+    inv_fy = cam_ref[1] if n_extra else 0.0
 
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
 
@@ -101,7 +109,22 @@ def _kernel(mats_ref, wh_ref, quads_ref, rax_ref, ray_ref,
         base_hy = m[3] * rax + m[4] * ray_ + m[5]
         base_hz = m[6] * rax + m[7] * ray_ + m[8]
 
+        # gather entries: (S slots) x (center + n_extra sparse-patch taps).
+        # Tap t adds the ray offset (dx*inv_fx, dy*inv_fy) unpacked from
+        # its precomputed sample word; its need/oov gating is the CENTER's
+        # (deformable_cost_exact's convention) and its weight/ref ride the
+        # word.  w_e/ref_e per entry feed the moment accumulation.
+        tap_d = []                       # (ddx, ddy, w_t, ref_t) per tap
+        for t in range(n_extra):
+            word = taps_ref[0, 0, t, a]
+            t_dy = ((word & 0xF) - 8).astype(jnp.float32)
+            t_dx = (((word >> 4) & 0xF) - 8).astype(jnp.float32)
+            t_w = ((word >> 8) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+            t_ref = ((word >> 16) & 0xFF).astype(jnp.float32)
+            tap_d.append((t_dx * inv_fx, t_dy * inv_fy, t_w, t_ref))
+
         y0s, x0s, fxs, fys, needs, oovs = [], [], [], [], [], []
+        w_es, ref_es = [], []
         y_lo = None
         y_hi = None
         x_lo = None
@@ -111,36 +134,53 @@ def _kernel(mats_ref, wh_ref, quads_ref, rax_ref, ray_ref,
             q1 = q_ref[0, s, 1]
             q2 = q_ref[0, s, 2]
             s_i = q0 * rax + q1 * ray_ + q2
-            hx = base_hx - m[9] * s_i
-            hy = base_hy - m[10] * s_i
-            hz = base_hz - m[11] * s_i
-            front = hz > 0
-            hz = jnp.where(jnp.abs(hz) < 1e-12, 1e-12, hz)
-            px = hx / hz
-            py = hy / hz
-            in_view = ((px >= 0) & (px < w_ext) & (py >= 0) & (py < h_ext)
-                       & front)
-            pxc = jnp.clip(px, 0.0, W_src - 1.0)
-            pyc = jnp.clip(py, 0.0, H_src - 1.0)
-            x0f = jnp.floor(pxc)
-            y0f = jnp.floor(pyc)
-            x0 = x0f.astype(jnp.int32)
-            y0 = y0f.astype(jnp.int32) + PAD_TOP       # padded row coords
-            need = vm & in_view
-            y0s.append(y0)
-            x0s.append(x0)
-            fxs.append(pxc - x0f)
-            fys.append(pyc - y0f)
-            needs.append(need)
-            oovs.append(vm & ~in_view)
-            ym = jnp.where(need, y0, 10 ** 8)
-            yM = jnp.where(need, y0, -1)
-            xm = jnp.where(need, x0, 10 ** 8)
-            xM = jnp.where(need, x0, -1)
-            y_lo = ym if y_lo is None else jnp.minimum(y_lo, ym)
-            y_hi = yM if y_hi is None else jnp.maximum(y_hi, yM)
-            x_lo = xm if x_lo is None else jnp.minimum(x_lo, xm)
-            x_hi = xM if x_hi is None else jnp.maximum(x_hi, xM)
+            hx0 = base_hx - m[9] * s_i
+            hy0 = base_hy - m[10] * s_i
+            hz0 = base_hz - m[11] * s_i
+            need_c = None
+            for t in range(1 + n_extra):
+                if t == 0:
+                    hx, hy, hz = hx0, hy0, hz0
+                else:
+                    ddx, ddy, t_w, t_ref = tap_d[t - 1]
+                    ds = q0 * ddx + q1 * ddy
+                    hx = hx0 + m[0] * ddx + m[1] * ddy - m[9] * ds
+                    hy = hy0 + m[3] * ddx + m[4] * ddy - m[10] * ds
+                    hz = hz0 + m[6] * ddx + m[7] * ddy - m[11] * ds
+                front = hz > 0
+                hz = jnp.where(jnp.abs(hz) < 1e-12, 1e-12, hz)
+                px = hx / hz
+                py = hy / hz
+                pxc = jnp.clip(px, 0.0, W_src - 1.0)
+                pyc = jnp.clip(py, 0.0, H_src - 1.0)
+                x0f = jnp.floor(pxc)
+                y0f = jnp.floor(pyc)
+                x0 = x0f.astype(jnp.int32)
+                y0 = y0f.astype(jnp.int32) + PAD_TOP   # padded row coords
+                if t == 0:
+                    in_view = ((px >= 0) & (px < w_ext) & (py >= 0)
+                               & (py < h_ext) & front)
+                    need_c = vm & in_view
+                    needs.append(need_c)
+                    oovs.append(vm & ~in_view)
+                    w_es.append(wcol)
+                    ref_es.append(refa)
+                else:
+                    needs.append(need_c)
+                    w_es.append(t_w)
+                    ref_es.append(t_ref)
+                y0s.append(y0)
+                x0s.append(x0)
+                fxs.append(pxc - x0f)
+                fys.append(pyc - y0f)
+                ym = jnp.where(need_c, y0, 10 ** 8)
+                yM = jnp.where(need_c, y0, -1)
+                xm = jnp.where(need_c, x0, 10 ** 8)
+                xM = jnp.where(need_c, x0, -1)
+                y_lo = ym if y_lo is None else jnp.minimum(y_lo, ym)
+                y_hi = yM if y_hi is None else jnp.maximum(y_hi, yM)
+                x_lo = xm if x_lo is None else jnp.minimum(x_lo, xm)
+                x_hi = xM if x_hi is None else jnp.maximum(x_hi, xM)
 
         # window bounds (vector->scalar reductions feeding the loop bounds;
         # 4 per anchor — the per-element gathers they replace cost far more)
@@ -155,12 +195,13 @@ def _kernel(mats_ref, wh_ref, quads_ref, rax_ref, ray_ref,
         n_cb = jnp.where(any_need,
                          jnp.minimum(x_max // TILE_W - cb_lo + 1, NCB), 0)
 
-        # per-slot window coordinates (rows/cols beyond the static window
+        # per-entry window coordinates (rows/cols beyond the static window
         # clamp to its edge — the documented tail)
-        djs = [jnp.clip(y0s[s] - s_iota - base, 0, ASPAN - 1)
-               for s in range(S)]
-        xls = [jnp.clip(x0s[s] - cb_lo * TILE_W, 0, NCB * TILE_W - 1)
-               for s in range(S)]
+        E = S * (1 + n_extra)
+        djs = [jnp.clip(y0s[e] - s_iota - base, 0, ASPAN - 1)
+               for e in range(E)]
+        xls = [jnp.clip(x0s[e] - cb_lo * TILE_W, 0, NCB * TILE_W - 1)
+               for e in range(E)]
 
         # dynamically-anchored chain alignment (shared by every col block)
         m0 = base % TILE_H
@@ -168,7 +209,7 @@ def _kernel(mats_ref, wh_ref, quads_ref, rax_ref, ray_ref,
         up = (TILE_H - m0) % TILE_H
         in_lo = s_iota < TILE_H - m0
 
-        gath = [jnp.zeros((TILE_H, TILE_W), jnp.int32) for _ in range(S)]
+        gath = [jnp.zeros((TILE_H, TILE_W), jnp.int32) for _ in range(E)]
 
         def cb_body(cb_i, gath):
             col = pl.multiple_of((cb_lo + cb_i) * TILE_W, TILE_W)
@@ -181,10 +222,10 @@ def _kernel(mats_ref, wh_ref, quads_ref, rax_ref, ray_ref,
             Rs = [jnp.where(in_lo, rots[u], rots[u + 1])
                   for u in range(NCHAIN + 1)]
             locs, hits = [], []
-            for s in range(S):
-                locs.append(jnp.clip(xls[s] - cb_i * TILE_W, 0, TILE_W - 1))
-                hits.append((xls[s] >= cb_i * TILE_W)
-                            & (xls[s] < (cb_i + 1) * TILE_W) & needs[s])
+            for e in range(E):
+                locs.append(jnp.clip(xls[e] - cb_i * TILE_W, 0, TILE_W - 1))
+                hits.append((xls[e] >= cb_i * TILE_W)
+                            & (xls[e] < (cb_i + 1) * TILE_W) & needs[e])
             out = list(gath)
             for j in range(ASPAN):
                 # win[sigma] = source row base + j + sigma (static rolls)
@@ -197,9 +238,9 @@ def _kernel(mats_ref, wh_ref, quads_ref, rax_ref, ray_ref,
                     win = jnp.where(s_iota < TILE_H - jm,
                                     pltpu.roll(r0, TILE_H - jm, axis=0),
                                     pltpu.roll(r1, TILE_H - jm, axis=0))
-                for s in range(S):
-                    g = jnp.take_along_axis(win, locs[s], axis=1)
-                    out[s] = jnp.where((djs[s] == j) & hits[s], g, out[s])
+                for e in range(E):
+                    g = jnp.take_along_axis(win, locs[e], axis=1)
+                    out[e] = jnp.where((djs[e] == j) & hits[e], g, out[e])
             return out
 
         gath = jax.lax.fori_loop(0, n_cb, cb_body, gath)
@@ -209,24 +250,33 @@ def _kernel(mats_ref, wh_ref, quads_ref, rax_ref, ray_ref,
         # (see kernels/deformable.py — NCC is shift-invariant; this keeps
         # the f32 moment accumulation O(spread) instead of O(mean^2))
         c0 = refa_ref[0, gi * Ag]
-        refa_s = refa - c0
+        Tn = 1 + n_extra
         for s in range(S):
-            g = gath[s]
-            i00 = (g & 0xFF).astype(jnp.float32)
-            i01 = ((g >> 8) & 0xFF).astype(jnp.float32)
-            i10 = ((g >> 16) & 0xFF).astype(jnp.float32)
-            i11 = ((g >> 24) & 0xFF).astype(jnp.float32)
-            fx = fxs[s]
-            fy = fys[s]
-            src = ((i00 * (1 - fx) + i01 * fx) * (1 - fy)
-                   + (i10 * (1 - fx) + i11 * fx) * fy) - c0
-            need_f = needs[s].astype(jnp.float32)
-            w = wcol * need_f
-            mom = jnp.stack(
-                [w, need_f, w * refa_s, w * refa_s * refa_s, w * src,
-                 w * src * src, w * refa_s * src])              # [7, 8, 128]
-            acc_ref[s, gi] = acc_ref[s, gi] + mom
-            cnt = jnp.stack([need_f, oovs[s].astype(jnp.float32)])
+            mom_sum = None
+            for t in range(Tn):
+                e = s * Tn + t
+                g = gath[e]
+                i00 = (g & 0xFF).astype(jnp.float32)
+                i01 = ((g >> 8) & 0xFF).astype(jnp.float32)
+                i10 = ((g >> 16) & 0xFF).astype(jnp.float32)
+                i11 = ((g >> 24) & 0xFF).astype(jnp.float32)
+                fx = fxs[e]
+                fy = fys[e]
+                src = ((i00 * (1 - fx) + i01 * fx) * (1 - fy)
+                       + (i10 * (1 - fx) + i11 * fx) * fy) - c0
+                need_f = needs[e].astype(jnp.float32)
+                ref_e = ref_es[e] - c0
+                w = w_es[e] * need_f
+                # mom[1] counts USABLE ANCHORS (center only): tap samples
+                # extend the group's moments, not its validity counting
+                n_term = need_f if t == 0 else jnp.zeros_like(need_f)
+                mom = jnp.stack(
+                    [w, n_term, w * ref_e, w * ref_e * ref_e, w * src,
+                     w * src * src, w * ref_e * src])           # [7, 8, 128]
+                mom_sum = mom if mom_sum is None else mom_sum + mom
+            acc_ref[s, gi] = acc_ref[s, gi] + mom_sum
+            cnt = jnp.stack([needs[s * Tn].astype(jnp.float32),
+                             oovs[s].astype(jnp.float32)])
             use_ref[s] = use_ref[s] + cnt
         return 0
 
@@ -277,14 +327,22 @@ def anchor_slot_costs_pallas(
     ref_a: jnp.ndarray,            # [A, K] f32 ref intensity at anchor
     w_col: jnp.ndarray,            # [A, K] f32 color weight
     vbits: jnp.ndarray,            # [A, K] int32 usable bitmask (valid&sees)
+    tap_words: jnp.ndarray | None = None,   # [V, T-1, A, K] sample words
+    cam_inv: jnp.ndarray | None = None,     # [2] f32 (inv_fx, inv_fy)
     interpret: bool = False,
 ) -> AnchorCostTerm:
-    """Slot-exact anchor terms for all S slots at once: cost [S, K, V]."""
+    """Slot-exact anchor terms for all S slots at once: cost [S, K, V].
+
+    With ``tap_words`` (PMStatic.anchor_taps > 1) each anchor serves
+    1 + (T-1) gather entries per slot — center plus the reference's
+    per-view sparse-patch candidate taps (deformable.py::gather_tap_words)
+    — accumulated into the same grouped moments (~T x the gather cost)."""
     V, H, W = packed_quads.shape
     S, K = slot_q.shape[:2]
     A = rax.shape[0]
     G = max(A // _MIN_ANCHOR_SAMPLES, 1)
     Ag = -(-A // G)
+    n_extra = 0 if tap_words is None else tap_words.shape[1]
 
     Kp = -(-K // KT_SIZE) * KT_SIZE
     KT = Kp // KT_SIZE
@@ -311,27 +369,32 @@ def anchor_slot_costs_pallas(
 
     grid = (V, KT)
     kern = functools.partial(_kernel, S=S, A=A, G=G, Ag=Ag,
-                             H_src=H, W_src=W, Wp=Wp)
+                             H_src=H, W_src=W, Wp=Wp, n_extra=n_extra)
+    ak_spec = pl.BlockSpec((1, A, TILE_H, TILE_W),
+                           lambda v, kt: (kt, 0, 0, 0))
+    ins = [mats, src_wh]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),        # mats [V,12]
+                pl.BlockSpec(memory_space=pltpu.SMEM)]        # wh [V,2]
+    if n_extra:
+        # [V, T-1, A, K] -> [V, KT, T-1, A, 8, 128], block per (v, kt)
+        taps_t = jnp.moveaxis(tile_k(tap_words), 0, 1)
+        ins += [jnp.asarray(cam_inv, jnp.float32), taps_t]
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # cam [2]
+            pl.BlockSpec((1, 1, n_extra, A, TILE_H, TILE_W),
+                         lambda v, kt: (v, kt, 0, 0, 0, 0)),
+        ]
+    ins += [quads_pad, rax_t, ray_t, refa_t, wcol_t, vbits_t, q_t]
+    in_specs += [
+        pl.BlockSpec((1, Hq, Wp), lambda v, kt: (v, 0, 0)),
+        ak_spec, ak_spec, ak_spec, ak_spec, ak_spec,
+        pl.BlockSpec((1, S, 3, TILE_H, TILE_W),
+                     lambda v, kt: (kt, 0, 0, 0, 0)),
+    ]
     cost, has = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),            # mats [V,12]
-            pl.BlockSpec(memory_space=pltpu.SMEM),            # wh [V,2]
-            pl.BlockSpec((1, Hq, Wp), lambda v, kt: (v, 0, 0)),
-            pl.BlockSpec((1, A, TILE_H, TILE_W),
-                         lambda v, kt: (kt, 0, 0, 0)),
-            pl.BlockSpec((1, A, TILE_H, TILE_W),
-                         lambda v, kt: (kt, 0, 0, 0)),
-            pl.BlockSpec((1, A, TILE_H, TILE_W),
-                         lambda v, kt: (kt, 0, 0, 0)),
-            pl.BlockSpec((1, A, TILE_H, TILE_W),
-                         lambda v, kt: (kt, 0, 0, 0)),
-            pl.BlockSpec((1, A, TILE_H, TILE_W),
-                         lambda v, kt: (kt, 0, 0, 0)),
-            pl.BlockSpec((1, S, 3, TILE_H, TILE_W),
-                         lambda v, kt: (kt, 0, 0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, S, TILE_H, TILE_W),
                          lambda v, kt: (v, kt, 0, 0, 0)),
@@ -347,8 +410,7 @@ def anchor_slot_costs_pallas(
             pltpu.VMEM((S, 2, TILE_H, TILE_W), jnp.float32),
         ],
         interpret=interpret,
-    )(mats, src_wh, quads_pad, rax_t, ray_t, refa_t, wcol_t, vbits_t,
-      q_t)
+    )(*ins)
 
     # [V, KT, S, 8, 128] -> [S, K, V]
     def unshape(x):
@@ -360,10 +422,12 @@ def anchor_slot_costs_pallas(
 
 
 def anchor_slot_costs_from_ctx(ctx, slot_planes_k, af_k, ok_k=None,
+                               tap_words=None,
                                interpret: bool = False) -> AnchorCostTerm:
     """Adapter: build kernel inputs from a CostContext + compacted
     AnchorFields (same contract as mapping
-    :func:`deformable.anchor_cost_term_for_plane` over the slot axis).
+    :func:`deformable.anchor_cost_term_for_plane` over the slot axis,
+    including its ``tap_words`` sparse-patch extension).
 
     ``ok_k`` (bool [K]) marks real compacted pixels; overflow fill slots
     get zero usable-anchor bits so all-fill tiles skip their gather loops
@@ -377,7 +441,12 @@ def anchor_slot_costs_from_ctx(ctx, slot_planes_k, af_k, ok_k=None,
     vbits = jnp.where(af_k.valid, sees_bits, 0)
     if ok_k is not None:
         vbits = jnp.where(ok_k[None], vbits, 0)
+    cam_inv = None
+    if tap_words is not None:
+        cam_inv = jnp.stack([jnp.asarray(ctx.inv_fx, jnp.float32),
+                             jnp.asarray(ctx.inv_fy, jnp.float32)])
     return anchor_slot_costs_pallas(
         ctx.packed_quads, ctx.M, ctx.b, ctx.src_wh, q,
         af_k.rax, af_k.ray, af_k.ref_a, af_k.w_col, vbits,
+        tap_words=tap_words, cam_inv=cam_inv,
         interpret=interpret)

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -183,6 +185,90 @@ def pack_anchor_fields(ctx: CostContext, anchors: AnchorResult,
                         w_col=w_col, sees=sees)
 
 
+# Reference fallback offsets for EMPTY patch-candidate slots (the fixed
+# +-weak_radius grid, APD.cu:944-948; slot 8 = center is always served
+# separately).  Order matches deformable_cost_exact's ``fallback``.
+TAP_FALLBACK = np.array(
+    [(-5, -5), (-5, 0), (-5, 5), (0, -5), (0, 5),
+     (5, -5), (5, 0), (5, 5)], np.int32)
+
+
+def pack_tap_fields(ref_img: jnp.ndarray, patch_off: jnp.ndarray,
+                    n_extra: int) -> jnp.ndarray:
+    """Dense per-anchor-position tap fields for the production tap mode.
+
+    For an anchor AT pixel (x, y) of view v, tap t of
+    ``PMStatic.anchor_taps`` reads 16 bits t of word [v, y, x]:
+    ``(dy_eff+8) | (dx_eff+8) << 4 | round(ref[tap]) << 8`` where
+    (dx_eff, dy_eff) is the patch-candidate offset (empty slots
+    substituted with the reference's fixed grid, APD.cu:944-948) CLIPPED
+    to the image — exactly ``deformable_cost_exact``'s tap positions.
+    Built once per pass; per half-iteration one gather at the compacted
+    anchor positions serves every tap (``gather_tap_words``).
+
+    n_extra <= 2 (two 16-bit taps per int32 word).
+    """
+    assert 1 <= n_extra <= 2
+    H, W = ref_img.shape
+    V = patch_off.shape[0]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    refq = jnp.clip(jnp.round(ref_img), 0, 255).astype(jnp.int32)
+    words = jnp.zeros((V, H, W), jnp.int32)
+    for t in range(n_extra):
+        off = patch_off[:, t].astype(jnp.int32)        # [V, H, W, 2]
+        oi = off[..., 0]
+        oj = off[..., 1]
+        empty = (oi == 0) & (oj == 0)
+        oi = jnp.where(empty, int(TAP_FALLBACK[t, 0]), oi)
+        oj = jnp.where(empty, int(TAP_FALLBACK[t, 1]), oj)
+        tx = jnp.clip(xs[None] + oi, 0, W - 1)
+        ty = jnp.clip(ys[None] + oj, 0, H - 1)
+        rq = refq.reshape(-1)[ty * W + tx]             # [V, H, W]
+        word_t = ((ty - ys[None] + 8) | ((tx - xs[None] + 8) << 4)
+                  | (rq << 8))
+        words = words | (word_t << (16 * t))
+    return words
+
+
+def gather_tap_words(tap_fields: jnp.ndarray, af: "AnchorFields",
+                     ref_c: jnp.ndarray, sigma_color, W: int,
+                     n_extra: int) -> jnp.ndarray:
+    """Per-(view, tap, anchor, pixel) sample words at compacted pixels.
+
+    Gathers ``pack_tap_fields`` output at the anchor positions ([A, K]
+    per view — ONE gather serves both taps), then attaches each tap's
+    bilateral color weight against the evaluated pixel's intensity
+    ``ref_c`` [K], quantized to u8 (the same quantization the packed-quad
+    sources carry; the Pallas kernel and the XLA oracle unpack the SAME
+    word, so they agree exactly).
+
+    Returns [V, n_extra, A, K] int32:
+    ``(dy+8) | (dx+8) << 4 | wq << 8 | refq << 16``.
+    """
+    sigma_color = jnp.asarray(sigma_color, jnp.float32)
+    idx = af.ay * W + af.ax                            # [A, K]
+    tw = tap_fields.reshape(tap_fields.shape[0], -1)[:, idx]  # [V, A, K]
+    out = []
+    for t in range(n_extra):
+        sub = (tw >> (16 * t)) & 0xFFFF
+        refq = (sub >> 8) & 0xFF
+        w = jnp.exp(-jnp.abs(refq.astype(jnp.float32) - ref_c[None, None])
+                    / (2.0 * sigma_color * sigma_color))
+        wq = jnp.round(w * 255.0).astype(jnp.int32)
+        out.append((sub & 0xFF) | (wq << 8) | (refq << 16))
+    return jnp.stack(out, axis=1)
+
+
+def unpack_tap_word(word: jnp.ndarray):
+    """int32 sample word -> (dx, dy, weight f32 in [0,1], ref f32)."""
+    dy = (word & 0xF) - 8
+    dx = ((word >> 4) & 0xF) - 8
+    w = ((word >> 8) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+    ref = ((word >> 16) & 0xFF).astype(jnp.float32)
+    return dx, dy, w, ref
+
+
 def anchor_fields_at(ctx: CostContext, anchors: AnchorResult,
                      sel_views: jnp.ndarray, ref_img: jnp.ndarray,
                      sigma_color, pk, gidx: jnp.ndarray) -> AnchorFields:
@@ -220,6 +306,7 @@ def anchor_cost_term_for_plane(
     ctx: CostContext,
     plane_field: jnp.ndarray,        # [H', W', 4] the SLOT's plane field
     af: AnchorFields,
+    tap_words: jnp.ndarray | None = None,   # [V, T-1, A, ...] sample words
 ) -> AnchorCostTerm:
     """Candidate-dependent anchor term (exact homography semantics).
 
@@ -239,22 +326,33 @@ def anchor_cost_term_for_plane(
     (engine/patchmatch.py, refinement-slot reuse; measured round 4).  Runs
     on the evaluation grid (checkerboard-packed in production: ``af``
     built with the pack fn).
+
+    With ``tap_words`` (``PMStatic.anchor_taps`` > 1, see
+    :func:`gather_tap_words`) each anchor contributes the reference's
+    per-view sparse-patch candidate taps as EXTRA samples of its group's
+    NCC, warped at the tap's own ray under the slot plane; sample
+    positions and weights match ``deformable_cost_exact``'s taps, the
+    grouping (vs the reference's per-anchor 9-tap NCC) is the documented
+    deviation.  Anchor validity/visibility counting stays center-based.
     """
     H, W = ctx.shape
     V = ctx.num_views
     q = plane_field[..., :3] / jnp.where(
         jnp.abs(plane_field[..., 3:4]) < 1e-12, 1e-12,
         plane_field[..., 3:4])                         # [H', W', 3]
-    s_i = (q[None, ..., 0] * af.rax + q[None, ..., 1] * af.ray
-           + q[None, ..., 2])                          # [A, H', W']
+    q0 = q[None, ..., 0]
+    q1 = q[None, ..., 1]
+    q2 = q[None, ..., 2]
 
-    src_list, inv_list = [], []
-    for v in range(V):
+    def warp_sample(v, rax, ray_):
+        """Clipped bilinear source sample + in-view test at ray (rax, ray_)
+        under the slot plane of the evaluated pixel."""
+        s_i = q0 * rax + q1 * ray_ + q2                # [A, H', W']
         M = ctx.M[v]
         b = ctx.b[v]
-        hx = M[0, 0] * af.rax + M[0, 1] * af.ray + M[0, 2] - b[0] * s_i
-        hy = M[1, 0] * af.rax + M[1, 1] * af.ray + M[1, 2] - b[1] * s_i
-        hz = M[2, 0] * af.rax + M[2, 1] * af.ray + M[2, 2] - b[2] * s_i
+        hx = M[0, 0] * rax + M[0, 1] * ray_ + M[0, 2] - b[0] * s_i
+        hy = M[1, 0] * rax + M[1, 1] * ray_ + M[1, 2] - b[1] * s_i
+        hz = M[2, 0] * rax + M[2, 1] * ray_ + M[2, 2] - b[2] * s_i
         front = hz > 0
         hz = jnp.where(jnp.abs(hz) < 1e-12, 1e-12, hz)
         px = hx / hz
@@ -277,14 +375,48 @@ def anchor_cost_term_for_plane(
         else:
             from .ncc import bilinear_sample
             src = bilinear_sample(ctx.src_imgs[v], px, py)
-        src_list.append(src)
-        inv_list.append(in_view)
+        return src, in_view
+
+    src_list, inv_list = [], []
+    for v in range(V):
+        s, iv = warp_sample(v, af.rax, af.ray)
+        src_list.append(s)
+        inv_list.append(iv)
     src_a = jnp.stack(src_list)                        # [V, A, H', W']
     inv_a = jnp.stack(inv_list)
 
     usable = af.valid[None] & af.sees & inv_a
     oov = af.valid[None] & af.sees & ~inv_a
     w = jnp.where(usable, af.w_col[None], 0.0)
+
+    # sample lists: center + optional sparse-patch taps (gated by the
+    # CENTER's usability, sampled clipped — deformable_cost_exact's
+    # convention: only the anchor center's in-view decides counting)
+    n_extra = 0 if tap_words is None else tap_words.shape[1]
+    w_samp = [w]
+    ref_samp = [jnp.broadcast_to(af.ref_a[None], src_a.shape)]
+    src_samp = [src_a]
+    for t in range(n_extra):
+        st_src, st_w, st_ref = [], [], []
+        for v in range(V):
+            dx, dy, wt, rt = unpack_tap_word(tap_words[v, t])
+            rax_t = af.rax + dx.astype(jnp.float32) * ctx.inv_fx
+            ray_t = af.ray + dy.astype(jnp.float32) * ctx.inv_fy
+            s, _ = warp_sample(v, rax_t, ray_t)
+            st_src.append(s)
+            st_w.append(wt)
+            st_ref.append(rt)
+        w_samp.append(jnp.where(usable, jnp.stack(st_w), 0.0))
+        ref_samp.append(jnp.broadcast_to(jnp.stack(st_ref), src_a.shape))
+        src_samp.append(jnp.stack(st_src))
+    Tn = n_extra + 1
+    w_T = jnp.stack(w_samp, axis=2)                # [V, A, T, H', W']
+    ref_T = jnp.stack(ref_samp, axis=2)
+    src_T = jnp.stack(src_samp, axis=2)
+    used_T = jnp.concatenate(
+        [usable[:, :, None],
+         jnp.zeros((V, usable.shape[1], n_extra) + usable.shape[2:], bool)],
+        axis=2)
 
     # Mean of per-GROUP NCCs instead of one global NCC over every anchor
     # sample: the reference averages per-anchor 9-tap NCC costs
@@ -300,7 +432,9 @@ def anchor_cost_term_for_plane(
     G = max(A // _MIN_ANCHOR_SAMPLES, 1)
     Ag = -(-A // G)
     a_pad = G * Ag - A
-    shp = (V, G, Ag) + src_a.shape[2:]
+    # sample axis = (anchor-in-group, tap) flattened; element 0 of every
+    # group is (first anchor, center) — the conditioning shift's origin
+    shp = (V, G, Ag * Tn) + src_a.shape[2:]
 
     def grp(x):
         if a_pad:
@@ -308,10 +442,10 @@ def anchor_cost_term_for_plane(
                 [x, jnp.zeros((V, a_pad) + x.shape[2:], x.dtype)], axis=1)
         return x.reshape(shp)
 
-    wg = grp(w)
-    used_g = grp(usable)
-    ref_g = grp(jnp.broadcast_to(af.ref_a[None], src_a.shape))
-    src_g = grp(src_a)
+    wg = grp(w_T)
+    used_g = grp(used_T)
+    ref_g = grp(ref_T)
+    src_g = grp(src_T)
     # Conditioning: NCC is shift-invariant, and raw intensities (0..255)
     # lose ~5 of f32's 7 digits to cancellation in E[x^2] - E[x]^2 when the
     # group variance is small; shifting ref AND src by the group's first

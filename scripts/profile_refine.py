@@ -5,6 +5,9 @@ stage time x calls/pass (6 half-iterations for per-half stages, 3 for
 per-iteration, 1 for per-pass)."""
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 import jax

@@ -16,7 +16,7 @@ from dvpmvs.kernels.ncc import build_cost_context
 from dvpmvs.utils.synthetic import make_scene
 
 
-def _setup(H=48, W=64, V=3, A=11, S=10, K=700, seed=0):
+def _setup(H=48, W=64, V=3, A=11, S=10, K=700, seed=0, ay=None):
     scene = make_scene(num_views=V + 1, height=H, width=W, seed=seed)
     ref_cam = scene.cameras[0]
     src_cams = stack_cameras(scene.cameras[1:V + 1])
@@ -26,7 +26,8 @@ def _setup(H=48, W=64, V=3, A=11, S=10, K=700, seed=0):
                              backend="pallas", color_only_weights=True)
     rng = np.random.default_rng(seed + 1)
     ax = rng.integers(0, W, (A, K)).astype(np.int32)
-    ay = rng.integers(0, H, (A, K)).astype(np.int32)
+    if ay is None:
+        ay = rng.integers(0, H, (A, K)).astype(np.int32)
     rax = (ax.astype(np.float32) - float(ref_cam.cx)) / float(ref_cam.fx)
     ray_ = (ay.astype(np.float32) - float(ref_cam.cy)) / float(ref_cam.fy)
     valid = rng.uniform(size=(A, K)) < 0.85
@@ -79,3 +80,85 @@ def test_kernel_matches_oracle(seed):
     assert np.mean(diff > 2e-3) < 0.005, np.mean(diff > 2e-3)
     assert np.mean(diff) < 1e-3, np.mean(diff)
     assert diff.max() <= 2.0 + 1e-6
+
+
+def test_kernel_matches_oracle_with_taps():
+    """Sparse-patch tap mode (PMStatic.anchor_taps=3): kernel vs oracle,
+    both consuming the SAME packed sample words (deformable.py helpers),
+    so the u8 weight/ref quantization cancels in the comparison."""
+    from dvpmvs.kernels.anchor_pallas import anchor_slot_costs_from_ctx
+    from dvpmvs.kernels.deformable import (gather_tap_words,
+                                           pack_tap_fields)
+
+    H, W, V = 48, 64, 3
+    ctx, af, planes = _setup(H=H, W=W, V=V, seed=5)
+    rng = np.random.default_rng(7)
+    scene = make_scene(num_views=V + 1, height=H, width=W, seed=5)
+    ri = jnp.asarray(scene.images[0])
+    # random per-view candidate offsets incl. empty slots (fallback path)
+    patch_off = rng.integers(-5, 6, (V, 8, H, W, 2)).astype(np.int8)
+    patch_off[:, :, ::7] = 0                       # empties -> fixed grid
+    tap_fields = pack_tap_fields(ri, jnp.asarray(patch_off), 2)
+    K = af.ax.shape[1]
+    ref_c = jnp.asarray(rng.uniform(0, 255, K).astype(np.float32))
+    tap_w = gather_tap_words(tap_fields, af, ref_c, 3.0, W, 2)
+
+    interpret = jax.default_backend() == "cpu"
+    got = anchor_slot_costs_from_ctx(ctx, planes, af, tap_words=tap_w,
+                                     interpret=interpret)
+    want = jax.lax.map(
+        lambda p: anchor_cost_term_for_plane(ctx, p, af, tap_w), planes)
+
+    np.testing.assert_array_equal(np.asarray(got.has_anchors),
+                                  np.asarray(want.has_anchors))
+    diff = np.abs(np.asarray(got.cost) - np.asarray(want.cost))
+    assert np.mean(diff > 2e-3) < 0.01, np.mean(diff > 2e-3)
+    assert np.mean(diff) < 2e-3, np.mean(diff)
+
+
+def test_kernel_clamp_tail_bounded():
+    """Window-clamp tail at production-like anchor coherence (advisor r4).
+
+    The static gather window (ASPAN=64 rows) is anchored at each
+    (anchor slot, tile)'s MINIMUM warped row, so one low outlier anchor
+    pushes a coherent cluster past the window edge — the documented
+    clamp tail (BASELINE.md: bench spans p90 59 / max 72 > ASPAN).  This
+    builds 4 tiles of coherent anchors (spans ~40 rows, inside the
+    window) and plants far outliers in ONE anchor slot of ONE tile:
+    clean tiles must match the oracle exactly (up to the FMA floor()
+    tail), the outlier tile only degrades boundedly, and counting
+    (has_anchors) is unaffected everywhere.  (Uniform-random anchors at
+    H=112 — every tile pathological — measured mean |diff| 0.62: the
+    window approximation relies on the band-major compaction keeping
+    tiles coherent; this test pins the failure containment, not that
+    regime.)"""
+    from dvpmvs.kernels.anchor_pallas import ASPAN, anchor_slot_costs_from_ctx
+
+    H, A, K = 112, 11, 4096                 # 4 tiles of 1024
+    assert H > ASPAN
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, H - 48, (A, 4))             # per (slot, tile)
+    ay = np.repeat(base, 1024, axis=1) + rng.integers(0, 40, (A, K))
+    ay = np.clip(ay, 0, H - 1).astype(np.int32)
+    # outliers: anchor slot 3, tile 2, a handful of entries far below
+    out_sl, out_tile = 3, 2
+    idx = out_tile * 1024 + rng.integers(0, 1024, 12)
+    ay[out_sl, idx] = np.clip(base[out_sl, out_tile] - 80, 0, H - 1)
+    ctx, af, planes = _setup(H=H, W=64, A=A, K=K, seed=2, ay=ay)
+    interpret = jax.default_backend() == "cpu"
+    got = anchor_slot_costs_from_ctx(ctx, planes, af, interpret=interpret)
+    want = jax.lax.map(
+        lambda p: anchor_cost_term_for_plane(ctx, p, af), planes)
+
+    np.testing.assert_array_equal(np.asarray(got.has_anchors),
+                                  np.asarray(want.has_anchors))
+    diff = np.abs(np.asarray(got.cost) - np.asarray(want.cost))
+    diff_t = diff.reshape(diff.shape[0], 4, 1024, diff.shape[-1])
+    clean = [t for t in range(4) if t != out_tile]
+    for t in clean:
+        d = diff_t[:, t]
+        assert np.mean(d > 2e-3) < 0.005, (t, np.mean(d > 2e-3))
+        assert np.mean(d) < 1e-3, (t, np.mean(d))
+    d_out = diff_t[:, out_tile]
+    assert d_out.max() <= 2.0 + 1e-6
+    assert np.mean(d_out) < 0.5, np.mean(d_out)

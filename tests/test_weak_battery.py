@@ -9,14 +9,16 @@ Design notes (round 4):
     (same seed; only the radiometric-noise draws differ), so the noisy
     variant measures the same pixels — the first version's variance test on
     the noisy image yielded an EMPTY region and a vacuous 0.000 floor.
-  * After FIRST_INIT the region is injected as the WEAK classification.
-    At battery scale the reference-style DepthToWeak reclassification only
-    marks a fraction of the region weak (measured: 48 of 127 disc px), so
-    without the injection neither cost model's weak machinery engages and
-    default == exact to the last digit.  DepthToWeak's own classification
-    is covered separately (test_weak_engine.py::test_disc_classified_weak);
-    this battery isolates what the verdict item asks about: weak-region
-    RECOVERY through the full refinement schedule under both anchor models.
+  * The three 64x96 scenes inject the region as the WEAK classification
+    after FIRST_INIT — at that scale DepthToWeak marks only a fraction of
+    the region weak (48/127 disc px) and the weak machinery would barely
+    engage; the injection isolates weak-region RECOVERY under both anchor
+    models.  The ``band-nat`` scene (96x128) runs the production loop
+    END-TO-END with no injection: DepthToWeak's own classification
+    engages naturally there (73% of the region marked weak, 31 false-weak
+    px outside — scripts/tune_weak_scene.py), covering
+    DepthToWeak -> anchors -> recovery as one pipeline (VERDICT r4
+    weak-5).
   * Floors are measured round-4 values minus ~0.08-0.12 margin; the
     measured table lives in BASELINE.md.
 """
@@ -32,21 +34,39 @@ from dvpmvs.engine import run_pass
 from dvpmvs.geometry import stack_cameras
 from dvpmvs.utils.synthetic import make_scene
 
-H, W, NV = 64, 96, 4
+NV = 4
 V = NV - 1
 
+# name -> (H, W, scene kwargs, inject).  ``inject=False`` runs the
+# production loop end-to-end: FIRST_INIT's own DepthToWeak classification
+# (no injected weak mask) feeds REFINE_INIT/REFINE_ITER — VERDICT r4
+# weak-5.  At 96x128 the band scene engages naturally: DepthToWeak marks
+# 73% of the textureless region WEAK with only 31 false-weak px outside
+# (scripts/tune_weak_scene.py, round 5); at the old 64x96 it marked only
+# 48/127 px, which is why the smaller scenes keep the injection.
 SCENES = {
-    "disc": dict(seed=4, weak_disc=True),
-    "band": dict(seed=6, weak_band=True),
-    "band+noise": dict(seed=6, weak_band=True, noise=4.0),
+    "disc": dict(dims=(64, 96), kw=dict(seed=4, weak_disc=True),
+                 inject=True, modes=("default", "taps", "exact")),
+    "band": dict(dims=(64, 96), kw=dict(seed=6, weak_band=True),
+                 inject=True, modes=("default", "taps", "exact")),
+    "band+noise": dict(dims=(64, 96),
+                       kw=dict(seed=6, weak_band=True, noise=4.0),
+                       inject=True, modes=("default", "taps", "exact")),
+    # production-loop end-to-end scene: no exact oracle here (the 9-tap
+    # XLA oracle at 96x128 costs multi-minute CPU compiles; the
+    # default-vs-exact comparison lives on the injected scenes)
+    "band-nat": dict(dims=(96, 128), kw=dict(seed=6, weak_band=True),
+                     inject=False, modes=("default", "taps")),
 }
 
 # acc2% floors over the textureless region after the full schedule:
-# (default floor, exact floor) — measured round 4 minus a margin
+# (default floor, exact floor) — measured values minus a margin
+# (disc/band/band+noise: round 4; band-nat: round 5, BASELINE.md table)
 FLOORS = {
     "disc": (0.55, 0.45),
     "band": (0.60, 0.50),
     "band+noise": (0.50, 0.40),
+    "band-nat": (0.45, 0.35),
 }
 
 _PASS_FNS = {}
@@ -61,9 +81,10 @@ def _pass_fn(static):
     return fn
 
 
-def _region_mask(kw):
+def _region_mask(dims, kw):
     """Interior textureless region of view 0, from the noise-free twin."""
     from scipy.ndimage import uniform_filter
+    H, W = dims
     clean = make_scene(num_views=NV, height=H, width=W,
                        **{k: v for k, v in kw.items() if k != "noise"})
     img = clean.images[0]
@@ -74,8 +95,14 @@ def _region_mask(kw):
     return region
 
 
-def _full_schedule(scene, region, exact: bool):
-    """FIRST_INIT -> inject region as WEAK -> REFINE_INIT -> REFINE_ITER."""
+def _full_schedule(scene, region, mode: str, inject: bool = True):
+    """FIRST_INIT -> [inject region as WEAK] -> REFINE_INIT -> REFINE_ITER.
+
+    ``mode``: "default" (anchor-center production term), "taps"
+    (anchor_taps=3 — production term + the reference's per-view
+    sparse-patch candidate taps), or "exact" (per-anchor 9-tap oracle).
+    With ``inject=False`` the weak classification is FIRST_INIT's own
+    DepthToWeak output — the untouched production loop."""
     ref_cam = scene.cameras[0]
     src_ids = list(range(1, NV))
     src_cams = stack_cameras([scene.cameras[i] for i in src_ids])
@@ -85,16 +112,21 @@ def _full_schedule(scene, region, exact: bool):
                            depth_max=float(ref_cam.depth_max))
     key = jax.random.PRNGKey(0)
     base = dict(num_src=V, cost_backend="exact", rotate_time=2,
-                use_edge=False, use_label=False, exact_deformable=exact)
+                use_edge=False, use_label=False,
+                exact_deformable=(mode == "exact"),
+                anchor_taps=3 if mode == "taps" else 1)
 
     st0 = PMStatic(state=RunState.FIRST_INIT, max_iterations=2,
-                   **{**base, "exact_deformable": False})
+                   **{**base, "exact_deformable": False, "anchor_taps": 1})
     out = _pass_fn(st0)(ri, si, ref_cam, src_cams, dyn=dyn, key=key)
 
-    weak = jnp.where(jnp.asarray(region), PixelState.WEAK,
-                     jnp.asarray(out.weak))
-    weak = jnp.where((weak == PixelState.WEAK) & ~jnp.asarray(region),
-                     PixelState.STRONG, weak).astype(jnp.int8)
+    if inject:
+        weak = jnp.where(jnp.asarray(region), PixelState.WEAK,
+                         jnp.asarray(out.weak))
+        weak = jnp.where((weak == PixelState.WEAK) & ~jnp.asarray(region),
+                         PixelState.STRONG, weak).astype(jnp.int8)
+    else:
+        weak = jnp.asarray(out.weak)     # DepthToWeak's own classification
 
     def init_kwargs(o, wk):
         return dict(
@@ -128,20 +160,25 @@ def _region_acc(scene, region, out):
 @pytest.fixture(scope="module")
 def weak_battery():
     rows = {}
-    for name, kw in SCENES.items():
-        region = _region_mask(kw)
+    for name, spec in SCENES.items():
+        dims, kw, inject = spec["dims"], spec["kw"], spec["inject"]
+        region = _region_mask(dims, kw)
         assert region.sum() > 50, (name, int(region.sum()))
-        scene = make_scene(num_views=NV, height=H, width=W, **kw)
-        acc_d = _region_acc(scene, region,
-                            _full_schedule(scene, region, False))
-        acc_e = _region_acc(scene, region,
-                            _full_schedule(scene, region, True))
-        rows[name] = (acc_d, acc_e, int(region.sum()))
-    lines = ["weak-structure battery (full schedule, %dx%d, V=%d; acc2%% "
-             "on the textureless region):" % (H, W, V)]
-    for name, (a_d, a_e, n) in rows.items():
-        lines.append(f"  {name:11s} default={a_d:.3f} exact={a_e:.3f} "
-                     f"delta={a_d - a_e:+.3f} ({n} px)")
+        scene = make_scene(num_views=NV, height=dims[0], width=dims[1],
+                           **kw)
+        acc = {m: _region_acc(scene, region,
+                              _full_schedule(scene, region, m, inject))
+               for m in spec["modes"]}
+        acc["n"] = int(region.sum())
+        rows[name] = acc
+    lines = ["weak-structure battery (full schedule, V=%d; acc2%% "
+             "on the textureless region):" % V]
+    for name, acc in rows.items():
+        dims = SCENES[name]["dims"]
+        tag = "" if SCENES[name]["inject"] else " [no injection]"
+        cols = " ".join(f"{m}={acc[m]:.3f}" for m in SCENES[name]["modes"])
+        lines.append(f"  {name:11s} {dims[0]}x{dims[1]} {cols} "
+                     f"({acc['n']} px){tag}")
     table = "\n".join(lines)
     print("\n" + table)
     try:  # sidecar dump: the fixture print is easy to lose in CI filters
@@ -155,7 +192,11 @@ def weak_battery():
 @pytest.mark.slow
 @pytest.mark.parametrize("name", list(SCENES))
 def test_weak_scene_floor(weak_battery, name):
-    acc_d, acc_e, _ = weak_battery[name]
+    acc = weak_battery[name]
     floor_d, floor_e = FLOORS[name]
-    assert acc_d >= floor_d, (name, "default", acc_d)
-    assert acc_e >= floor_e, (name, "exact", acc_e)
+    assert acc["default"] >= floor_d, (name, "default", acc["default"])
+    if "exact" in acc:
+        assert acc["exact"] >= floor_e, (name, "exact", acc["exact"])
+    # taps mode shares the default's floor: the extra sparse-patch samples
+    # must not cost weak-region accuracy (measured table in BASELINE.md)
+    assert acc["taps"] >= floor_d - 0.05, (name, "taps", acc["taps"])
