@@ -405,7 +405,12 @@ def ncc_cost_batch(ctx: CostContext, planes: jnp.ndarray,
     """
     if _fused_eligible(ctx):
         from .ncc_fused import fused_cost_from_ctx
+        # view_chunk: B<=8 batches run fastest with 5-view chunks (fewer
+        # kernel launches: 2 instead of 3 at V=10; measured round 5,
+        # 6-plane vmask 63 -> 54 ms); large batches regress at 5 (VMEM
+        # residency starves pipeline buffering, round-2 measurement).
+        vc = 5 if planes.shape[0] <= 8 else 4
         return fused_cost_from_ctx(ctx, planes, parity=parity,
                                    view_mask=view_mask,
-                                   plane_mask=plane_mask)
+                                   plane_mask=plane_mask, view_chunk=vc)
     return jax.lax.map(lambda p: ncc_cost(ctx, p), planes)

@@ -110,6 +110,21 @@ if GATHER_MODE not in ("p2", "quad"):
 # cost); "nogather" skips the row-dispersion loop entirely.
 ABLATE = _os.environ.get("DVPMVS_ABLATE", "")
 
+# A/B experiment (round 5, roofline item): dynamic column-block trip count.
+# The static loop always walks n_xb (2 dense / 3 packed) column blocks per
+# tap; measured typical taps touch 1-2.  With DVPMVS_DYN_XB=1 the kernel
+# derives per-tap lo/hi column blocks from interpolated x anchors (the max
+# anchors are chords of a CONVEX per-tap maximum — upper bounds, as the min
+# anchors are lower bounds of the concave minimum) and runs the block loop
+# with a data-dependent fori trip count.  Same clamp-tail semantics (cap =
+# the static n_xb).  MEASURED NEGATIVE (v5e, 608x800 packed B=17 V=10):
+# 423 ms vs 166 ms static — ~1/3 less gather work loses 2.5x because the
+# data-dependent trip count blocks Mosaic's software pipelining of the
+# load/roll/gather chains (same lesson as the round-2 dynamic row spans).
+# Retained as the measured record for the roofline analysis (BASELINE.md
+# round-5); never enable in production.
+DYN_XB = _os.environ.get("DVPMVS_DYN_XB", "") == "1"
+
 def _tap_grid():
     gx, gy = np.meshgrid(_TAP_AXIS, _TAP_AXIS)
     return np.stack([gy.ravel(), gx.ravel()], axis=-1)   # [T, 2] (di, dj) rows
@@ -331,6 +346,24 @@ def _make_fused_kernel(B, Vc, T, H_true, W_true, radius,
             x_lo_n, x_lo_c, x_lo_p = (x_anchor(-1.0), x_anchor(0.0),
                                       x_anchor(1.0))
 
+            if DYN_XB:
+                def x_anchor_hi(sgn):
+                    px_max = None
+                    for sgn_j in (-1.0, 1.0):
+                        hx = base0 + sgn * rad_v * cxx0 + sgn_j * rad_v * cyy0
+                        hz = base2 + sgn * rad_v * cxx2 + sgn_j * rad_v * cyy2
+                        hz = jnp.where(jnp.abs(hz) < 1e-12, 1e-12, hz)
+                        px = jnp.clip(hx / hz, 0.0, W_true - 1.0)
+                        px_max = (px if px_max is None
+                                  else jnp.maximum(px_max, px))
+                    xe = jnp.floor(px_max).astype(jnp.int32)
+                    return jnp.max(jnp.where(pad_mask, 0,
+                                             xe)).astype(jnp.float32)
+
+                x_hi_n, x_hi_c, x_hi_p = (x_anchor_hi(-1.0),
+                                          x_anchor_hi(0.0),
+                                          x_anchor_hi(1.0))
+
             def _anchor_interp(a, lo, mid, hi):
                 """a in [-1, 1] -> piecewise lerp through (lo, mid, hi)."""
                 return jnp.where(a <= 0.0,
@@ -458,6 +491,60 @@ def _make_fused_kernel(B, Vc, T, H_true, W_true, radius,
                     if ABLATE == "nogather":
                         g = quads_ref[v, pl.ds(a0, TILE_H),
                                       pl.ds(0, TILE_W)] + dj_pix
+                    if DYN_XB and ABLATE not in ("nogather", "static_dlo"):
+                        # data-dependent block count from the hi anchors
+                        x_hi_t = (jnp.floor(_anchor_interp(
+                            taps_ref[t, 0], x_hi_n, x_hi_c, x_hi_p))
+                            .astype(jnp.int32) + 1)
+                        b_lo = cbase // TILE_W
+                        n_b = jnp.clip(x_hi_t // TILE_W - b_lo + 1, 1, n_xb)
+
+                        def xb_body(xb, g):
+                            col = pl.multiple_of(cbase + xb * TILE_W,
+                                                 TILE_W)
+                            loc = jnp.clip(xlocal - xb * TILE_W, 0,
+                                           TILE_W - 1)
+                            in_col = ((xlocal >= xb * TILE_W)
+                                      & (xlocal < (xb + 1) * TILE_W))
+                            nR = (DSPAN - 1 + TILE_H - 1) // TILE_H + 1
+                            blks = [quads_ref[v,
+                                              pl.ds(a0 + u * TILE_H,
+                                                    TILE_H),
+                                              pl.ds(col, TILE_W)]
+                                    for u in range(nR + 1)]
+                            rots = [pltpu.roll(bk, up, axis=0)
+                                    for bk in blks]
+                            Rs = [jnp.where(in_lo, rots[u], rots[u + 1])
+                                  for u in range(nR)]
+                            for j in range(DSPAN):
+                                r0 = Rs[j // TILE_H]
+                                jm = j % TILE_H
+                                if jm == 0:
+                                    win = r0
+                                else:
+                                    r1 = Rs[j // TILE_H + 1]
+                                    win = jnp.where(
+                                        s_iota < TILE_H - jm,
+                                        pltpu.roll(r0, TILE_H - jm,
+                                                   axis=0),
+                                        pltpu.roll(r1, TILE_H - jm,
+                                                   axis=0))
+                                gg = jnp.take_along_axis(win, loc, axis=1)
+                                g = jnp.where((dj_pix == j) & in_col, gg,
+                                              g)
+                            return g
+
+                        g = jax.lax.fori_loop(0, n_b, xb_body, g)
+                        i00 = (g & 0xFF).astype(jnp.float32)
+                        i01 = ((g >> 8) & 0xFF).astype(jnp.float32)
+                        i10 = ((g >> 16) & 0xFF).astype(jnp.float32)
+                        i11 = ((g >> 24) & 0xFF).astype(jnp.float32)
+                        src_t = ((i00 * (1 - fx) + i01 * fx) * (1 - fy)
+                                 + (i10 * (1 - fx) + i11 * fx) * fy)
+                        w = w_ref[t]
+                        return (s1 + w * src_t,
+                                s2 + w * src_t * src_t,
+                                s3 + wref_ref[t] * src_t)
                     for xb in range(0 if ABLATE == "nogather" else n_xb):
                         col = pl.multiple_of(cbase + xb * TILE_W, TILE_W)
                         loc = jnp.clip(xlocal - xb * TILE_W, 0, TILE_W - 1)

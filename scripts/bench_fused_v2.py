@@ -1,4 +1,6 @@
 """Speed of the fused v2 kernel at bench scale (compiled, real backend)."""
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import sys, time
 import numpy as np
 import jax

@@ -15,6 +15,8 @@ x tile grid) under different source layouts:
 Run on the real chip:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_gather_variants.py
 """
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import time
 from functools import partial
 

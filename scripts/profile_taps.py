@@ -72,6 +72,8 @@ anchors = jax.block_until_ready(jax.jit(lambda wk, pl_: find_anchors(
     ransac_threshold=dyn.ransac_threshold,
     depth_range=dyn.depth_max - dyn.depth_min, use_limit=False))(weak, plane))
 
+FULL_ONLY = "--full-only" in sys.argv
+
 po = timeit("patch_candidates (per pass)", lambda: patch_candidates(
     ref_img, sel, dyn.sigma_color, weak_radius=5), calls=1)
 tf = timeit("pack_tap_fields (per pass)", lambda: pack_tap_fields(
@@ -89,7 +91,7 @@ ref_c_k = pk(ref_img).reshape(-1)[gidx]
 tw = timeit("gather_tap_words (x6)", lambda: gather_tap_words(
     tf, af_k, ref_c_k, dyn.sigma_color, W, 2), calls=6)
 
-if backend == "pallas":
+if backend == "pallas" and not FULL_ONLY:
     from dvpmvs.kernels.anchor_pallas import anchor_slot_costs_from_ctx
     slot_planes = jnp.broadcast_to(pk(plane)[None], (10, H, W // 2, 4))
     pl_k = slot_planes.reshape(10, SZ, 4)[:, gidx]

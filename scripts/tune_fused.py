@@ -1,4 +1,6 @@
 """Tune fused-kernel knobs on TPU: pack_out x view_chunk matrix."""
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import itertools, sys, time
 import numpy as np
 import jax, jax.numpy as jnp
@@ -34,13 +36,14 @@ vw = jnp.ones((H, W, V)).at[..., 5:].set(0.0)
 vm = tile_view_mask(pack_parity(vw, 0))
 
 
-def timeit(name, fn, *args, n=3):
+def timeit(name, fn, *args, n=5):
     t0 = time.time()
     out = jax.block_until_ready(fn(*args))
     dt_c = time.time() - t0
     t0 = time.time()
     for _ in range(n):
-        out = jax.block_until_ready(fn(*args))
+        out = fn(*args)
+    jax.block_until_ready(out)
     print(f"{name:38s} {(time.time()-t0)/n*1e3:9.1f} ms   "
           f"(compile {dt_c:5.1f} s)", flush=True)
     return out

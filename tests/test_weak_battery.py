@@ -52,11 +52,12 @@ SCENES = {
     "band+noise": dict(dims=(64, 96),
                        kw=dict(seed=6, weak_band=True, noise=4.0),
                        inject=True, modes=("default", "taps", "exact")),
-    # production-loop end-to-end scene: no exact oracle here (the 9-tap
-    # XLA oracle at 96x128 costs multi-minute CPU compiles; the
-    # default-vs-exact comparison lives on the injected scenes)
+    # production-loop end-to-end scene: default mode only — the exact and
+    # taps XLA-oracle programs at 96x128 cost multi-minute CPU compiles
+    # (measured 440 s for one taps REFINE program); the mode comparison
+    # lives on the injected 64x96 scenes
     "band-nat": dict(dims=(96, 128), kw=dict(seed=6, weak_band=True),
-                     inject=False, modes=("default", "taps")),
+                     inject=False, modes=("default",)),
 }
 
 # acc2% floors over the textureless region after the full schedule:
@@ -199,4 +200,5 @@ def test_weak_scene_floor(weak_battery, name):
         assert acc["exact"] >= floor_e, (name, "exact", acc["exact"])
     # taps mode shares the default's floor: the extra sparse-patch samples
     # must not cost weak-region accuracy (measured table in BASELINE.md)
-    assert acc["taps"] >= floor_d - 0.05, (name, "taps", acc["taps"])
+    if "taps" in acc:
+        assert acc["taps"] >= floor_d - 0.05, (name, "taps", acc["taps"])
