@@ -630,12 +630,18 @@ def deformable_cost_exact(
 
     out = []
     for v in range(V):
-        acc = jnp.zeros((H, W), jnp.float32)
-        cnt = jnp.zeros((H, W), jnp.int32)
-        for a in range(A):
+        # fori over anchors, NOT a python unroll: the unrolled oracle
+        # graph (A x 9 taps x V warp/gather blocks, ~300 at A=11 V=3)
+        # measured multi-minute XLA:CPU compiles and segfaulted the
+        # compiler on the battery's larger scenes (round 5); the loop
+        # preserves the accumulation order exactly.
+        def a_body(a, carry, v=v):
+            acc, cnt = carry
             c, ok = anchor_view_cost(a, v)
-            acc += c
-            cnt += ok
+            return acc + c, cnt + ok
+        acc, cnt = jax.lax.fori_loop(
+            0, A, a_body, (jnp.zeros((H, W), jnp.float32),
+                           jnp.zeros((H, W), jnp.int32)))
         strong = jnp.minimum(acc / jnp.maximum(cnt, 1), COST_MAX)
         cv = center[..., v]
         out.append(jnp.where(cnt > 0, 0.25 * cv + 0.75 * strong, cv))

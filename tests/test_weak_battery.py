@@ -160,6 +160,14 @@ def _region_acc(scene, region, out):
 
 @pytest.fixture(scope="module")
 def weak_battery():
+    # The battery's full-schedule programs are the largest CPU executables
+    # in the suite; serializing them to the persistent compile cache
+    # segfaults XLA:CPU's cache writer (observed twice, round 5:
+    # `Fatal Python error: Segmentation fault ... compiler.py _cache_write`
+    # right after a "Very slow compile" warning).  Trade cache reuse for
+    # stability on this module only.
+    old_cache = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
     rows = {}
     for name, spec in SCENES.items():
         dims, kw, inject = spec["dims"], spec["kw"], spec["inject"]
@@ -167,9 +175,11 @@ def weak_battery():
         assert region.sum() > 50, (name, int(region.sum()))
         scene = make_scene(num_views=NV, height=dims[0], width=dims[1],
                            **kw)
-        acc = {m: _region_acc(scene, region,
-                              _full_schedule(scene, region, m, inject))
-               for m in spec["modes"]}
+        acc = {}
+        for m in spec["modes"]:
+            print(f"[battery] {name} mode={m} ...", flush=True)
+            acc[m] = _region_acc(scene, region,
+                                 _full_schedule(scene, region, m, inject))
         acc["n"] = int(region.sum())
         rows[name] = acc
     lines = ["weak-structure battery (full schedule, V=%d; acc2%% "
@@ -187,6 +197,7 @@ def weak_battery():
         pathlib.Path("/tmp/weak_battery_table.txt").write_text(table + "\n")
     except OSError:
         pass
+    jax.config.update("jax_compilation_cache_dir", old_cache)
     return rows
 
 
