@@ -119,7 +119,8 @@ def _full_schedule(scene, region, mode: str, inject: bool = True):
 
     st0 = PMStatic(state=RunState.FIRST_INIT, max_iterations=2,
                    **{**base, "exact_deformable": False, "anchor_taps": 1})
-    out = _pass_fn(st0)(ri, si, ref_cam, src_cams, dyn=dyn, key=key)
+    out = out_first = _pass_fn(st0)(ri, si, ref_cam, src_cams, dyn=dyn,
+                                    key=key)
 
     if inject:
         weak = jnp.where(jnp.asarray(region), PixelState.WEAK,
@@ -143,11 +144,11 @@ def _full_schedule(scene, region, mode: str, inject: bool = True):
 
     st2 = PMStatic(state=RunState.REFINE_ITER, max_iterations=2,
                    use_APD=True, geom_consistency=True, **base)
-    out = _pass_fn(st2)(ri, si, ref_cam, src_cams, dyn=dyn,
-                        key=jax.random.fold_in(key, 2),
-                        src_depths=jnp.asarray(scene.gt_depth[src_ids]),
-                        **init_kwargs(out, weak))
-    return out
+    out2 = _pass_fn(st2)(ri, si, ref_cam, src_cams, dyn=dyn,
+                         key=jax.random.fold_in(key, 2),
+                         src_depths=jnp.asarray(scene.gt_depth[src_ids]),
+                         **init_kwargs(out, weak))
+    return out2, out_first
 
 
 def _region_acc(scene, region, out):
@@ -158,38 +159,80 @@ def _region_acc(scene, region, out):
     return float(((rel < 0.02) & (d > 0) & region).sum() / n)
 
 
+def _run_combo(name: str, mode: str):
+    """Run one (scene, mode) combo in THIS process.
+
+    Returns (acc2_final, acc2_after_FIRST_INIT, n_px) over the region —
+    final vs init shows how much the weak machinery RECOVERS, not just
+    where it lands (the region is injected/classified weak precisely
+    because FIRST_INIT cannot solve it photometrically)."""
+    spec = SCENES[name]
+    dims, kw, inject = spec["dims"], spec["kw"], spec["inject"]
+    region = _region_mask(dims, kw)
+    assert region.sum() > 50, (name, int(region.sum()))
+    scene = make_scene(num_views=NV, height=dims[0], width=dims[1], **kw)
+    out, out_first = _full_schedule(scene, region, mode, inject)
+    return (_region_acc(scene, region, out),
+            _region_acc(scene, region, out_first), int(region.sum()))
+
+
+_RESULT_TAG = "WEAK_BATTERY_RESULT "
+
+
 @pytest.fixture(scope="module")
 def weak_battery():
-    # The battery's full-schedule programs are the largest CPU executables
-    # in the suite; serializing them to the persistent compile cache
-    # segfaults XLA:CPU's cache writer (observed twice, round 5:
-    # `Fatal Python error: Segmentation fault ... compiler.py _cache_write`
-    # right after a "Very slow compile" warning).  Trade cache reuse for
-    # stability on this module only.
-    old_cache = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
+    # One subprocess per (scene, mode).  Running the whole battery's ~10
+    # largest XLA:CPU executables in ONE process exhausts
+    # vm.max_map_count=65530 (XLA code arena: allocateMappedMemory ENOMEM
+    # with 124 GB free) and segfaulted the persistent-cache writer right
+    # after the "Very slow compile" warnings (round 5).  A fresh process
+    # per combo holds <=3 large programs, and the persistent compile
+    # cache (safe again under isolation) dedupes shared-shape programs
+    # across combos — disc/band/band+noise share every program.
+    import os
+    import subprocess
+    import sys
+    import json as _json
+    from concurrent.futures import ThreadPoolExecutor
+
+    combos = [(name, m) for name, spec in SCENES.items()
+              for m in spec["modes"]]
+
+    def one(combo):
+        name, mode = combo
+        print(f"[battery] {name} mode={mode} ...", flush=True)
+        p = subprocess.run(
+            [sys.executable, "-m", "tests.test_weak_battery", name, mode],
+            capture_output=True, text=True, timeout=3600,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        for line in reversed(p.stdout.splitlines()):
+            if line.startswith(_RESULT_TAG):
+                r = _json.loads(line[len(_RESULT_TAG):])
+                print(f"[battery] {name} mode={mode} acc2={r['acc']:.3f} "
+                      f"({r['dt']:.0f}s)", flush=True)
+                return combo, r
+        raise RuntimeError(
+            f"battery combo {name}/{mode} failed rc={p.returncode}\n"
+            f"--- stdout tail ---\n{p.stdout[-2000:]}\n"
+            f"--- stderr tail ---\n{p.stderr[-2000:]}")
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        results = dict(ex.map(one, combos))
+
     rows = {}
     for name, spec in SCENES.items():
-        dims, kw, inject = spec["dims"], spec["kw"], spec["inject"]
-        region = _region_mask(dims, kw)
-        assert region.sum() > 50, (name, int(region.sum()))
-        scene = make_scene(num_views=NV, height=dims[0], width=dims[1],
-                           **kw)
-        acc = {}
-        for m in spec["modes"]:
-            print(f"[battery] {name} mode={m} ...", flush=True)
-            acc[m] = _region_acc(scene, region,
-                                 _full_schedule(scene, region, m, inject))
-        acc["n"] = int(region.sum())
+        acc = {m: results[(name, m)]["acc"] for m in spec["modes"]}
+        acc["n"] = results[(name, spec["modes"][0])]["n"]
+        acc["init"] = results[(name, spec["modes"][0])]["acc0"]
         rows[name] = acc
     lines = ["weak-structure battery (full schedule, V=%d; acc2%% "
-             "on the textureless region):" % V]
+             "on the textureless region, final vs FIRST_INIT):" % V]
     for name, acc in rows.items():
         dims = SCENES[name]["dims"]
         tag = "" if SCENES[name]["inject"] else " [no injection]"
         cols = " ".join(f"{m}={acc[m]:.3f}" for m in SCENES[name]["modes"])
-        lines.append(f"  {name:11s} {dims[0]}x{dims[1]} {cols} "
-                     f"({acc['n']} px){tag}")
+        lines.append(f"  {name:11s} {dims[0]}x{dims[1]} init={acc['init']:.3f} "
+                     f"{cols} ({acc['n']} px){tag}")
     table = "\n".join(lines)
     print("\n" + table)
     try:  # sidecar dump: the fixture print is easy to lose in CI filters
@@ -213,3 +256,32 @@ def test_weak_scene_floor(weak_battery, name):
     # must not cost weak-region accuracy (measured table in BASELINE.md)
     if "taps" in acc:
         assert acc["taps"] >= floor_d - 0.05, (name, "taps", acc["taps"])
+
+
+if __name__ == "__main__":
+    # Single-combo subprocess entry used by the weak_battery fixture:
+    #   JAX_PLATFORMS=cpu python -m tests.test_weak_battery <scene> <mode>
+    # Prints one `WEAK_BATTERY_RESULT {json}` line.  The parent must set
+    # JAX_PLATFORMS (conftest does for pytest-spawned runs); jax config
+    # is per-process, so mirror conftest's numerics/cache settings here.
+    import json as _json
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", False)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    if not _os.environ.get("WEAK_BATTERY_NO_CACHE"):
+        _cache = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                               "..", ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir",
+                          _os.path.abspath(_cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    _name, _mode = _sys.argv[1], _sys.argv[2]
+    _t0 = _time.time()
+    _acc, _acc0, _n = _run_combo(_name, _mode)
+    print(_RESULT_TAG + _json.dumps(
+        {"scene": _name, "mode": _mode, "acc": _acc, "acc0": _acc0,
+         "n": _n, "dt": round(_time.time() - _t0, 1)}), flush=True)
